@@ -1,0 +1,136 @@
+"""Continuous-aggregate tier cascade: raw -> 30min -> 1day -> 1month.
+
+The reference's only aggregation kernel is mean-by-timestamp
+(reference: src/isp_trace_parser/trace_restructure_helper_functions.py:32-37);
+its half-hourly data is already the finest tier. The north_rule extends
+this to a 3-tier rollup engine. Design:
+
+- Each tier carries ``(series key, bucket_ts, avg/min/max/sum/count)``.
+- Coarser tiers are computed FROM the previous tier's partials
+  (sum+count re-aggregated), never by re-scanning raw data — at 10^12
+  rows the raw scan is the dominant cost and must happen once.
+  avg is re-derived as sum/count at every tier (exact, no avg-of-avgs).
+- ``bucket_ts`` labels the END of the bucket, matching the reference's
+  end-of-interval convention (trace_formatter.py:12-15): the 30-min
+  bucket ending at 00:30 covers (00:00, 00:30].
+- Aggregation is a plain ``groupBy`` -> Catalyst two-phase hash agg
+  (map-side partial combine), the optimal distributed plan. The shuffle
+  keys are (series, bucket), which is exactly the storage partitioning
+  (time-bucket + url-hash bucket), so the downstream partitioned write
+  needs no second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TIER_SECONDS = {"30m": 1800, "1d": 86400}
+
+AGG_COLS = ["avg_value", "min_value", "max_value", "sum_value", "cnt_value"]
+
+
+def bucket_end(ts: Column, seconds: int) -> Column:
+    """END-of-interval bucket label: smallest multiple of ``seconds``
+    >= ts (half-open (start, end] semantics, reference get_data.py:80-82
+    and trace_formatter end-of-period convention)."""
+    e = F.unix_timestamp(ts)
+    return F.timestamp_seconds(F.ceil(e / F.lit(seconds)).cast("long") * seconds)
+
+
+def rollup_raw(
+    df: DataFrame,
+    series_col: str = "url",
+    ts_col: str = "warc_ts",
+    value_col: str = "value",
+    tier_seconds: int = 1800,
+) -> DataFrame:
+    """Finest tier: raw points -> per-(series, bucket) aggregates."""
+    return (
+        df.groupBy(
+            F.col(series_col).alias("series"),
+            bucket_end(F.col(ts_col), tier_seconds).alias("bucket_ts"),
+        )
+        .agg(
+            F.avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.sum(value_col).alias("sum_value"),
+            F.count(value_col).alias("cnt_value"),
+        )
+    )
+
+
+def rollup_cascade(tier: DataFrame, coarser_seconds: int) -> DataFrame:
+    """Coarser tier FROM a finer tier: re-aggregate the partials.
+
+    sum/count add exactly; min/max nest; avg = total sum / total count —
+    identical to aggregating the raw data, at a fraction of the scan.
+    """
+    return (
+        tier.groupBy(
+            "series",
+            bucket_end(F.col("bucket_ts") - F.expr("INTERVAL 1 SECOND"), coarser_seconds).alias(
+                "bucket_ts"
+            ),
+        )
+        .agg(
+            (F.sum("sum_value") / F.sum("cnt_value")).alias("avg_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("cnt_value").alias("cnt_value"),
+        )
+    )
+
+
+def monthly_from_daily(daily: DataFrame) -> DataFrame:
+    """Month tier (calendar months are irregular — no fixed seconds).
+
+    Bucket label = first instant of the NEXT month (end-of-interval,
+    consistent with the other tiers): the bucket ending 2024-02-01 00:00
+    covers (2024-01-01 00:00, 2024-02-01 00:00].
+    """
+    # Daily bucket_ts is the END of the day; shift back 1s to find the
+    # month it belongs to, then label with the start of the next month.
+    month_start = F.date_trunc("month", F.col("bucket_ts") - F.expr("INTERVAL 1 SECOND"))
+    month_end = F.to_timestamp(F.add_months(month_start, 1))
+    return (
+        daily.groupBy("series", month_end.alias("bucket_ts"))
+        .agg(
+            (F.sum("sum_value") / F.sum("cnt_value")).alias("avg_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("cnt_value").alias("cnt_value"),
+        )
+    )
+
+
+def build_tiers(
+    df: DataFrame,
+    series_col: str = "url",
+    ts_col: str = "warc_ts",
+    value_col: str = "value",
+) -> dict[str, DataFrame]:
+    """The full cascade raw -> 30m -> 1d -> 1mo. One raw scan total."""
+    t30 = rollup_raw(df, series_col, ts_col, value_col, TIER_SECONDS["30m"])
+    t1d = rollup_cascade(t30, TIER_SECONDS["1d"])
+    t1mo = monthly_from_daily(t1d)
+    return {"agg_30m": t30, "agg_1d": t1d, "agg_1mo": t1mo}
+
+
+def mean_merge(traces: list[DataFrame], ts_col: str = "datetime", value_col: str = "value") -> DataFrame:
+    """Reference A1: union N traces of one entity and mean by timestamp
+    (trace_restructure_helper_functions.py:32-37 — e.g. Snowtown S2 =
+    mean of SNOWSTH1 + SNOWNTH1). We sort deterministically afterwards;
+    the reference leaves hash order (documented divergence, SURVEY §2.5).
+    """
+    from functools import reduce
+
+    unioned = reduce(DataFrame.unionByName, traces)
+    return (
+        unioned.groupBy(ts_col)
+        .agg(F.avg(value_col).alias(value_col))
+        .orderBy(ts_col)
+    )

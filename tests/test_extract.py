@@ -1,0 +1,63 @@
+"""Byte-identical extracted text per url: Spark pandas-UDF vs the pinned
+pure-Python reference extractor (input_hint invariant)."""
+
+from __future__ import annotations
+
+from isp_trace_parser_spark import synth
+from isp_trace_parser_spark.functions.extract import (
+    extract_text_reference,
+    language_id,
+    with_extracted_text,
+)
+
+
+def test_extractor_recovers_synth_text(spark):
+    df = synth.pages(spark, n_urls=6, n_slots=24)
+    out = with_extracted_text(df).select("url", "text", "extracted_text").toPandas()
+    mismatches = out[out["text"] != out["extracted_text"]]
+    assert mismatches.empty, mismatches.head()
+
+
+def test_udf_byte_identical_to_reference(spark):
+    pdf = synth.pages_pandas(n_urls=4, n_slots=8).reset_index()
+    sdf = spark.createDataFrame(pdf[["index", "url", "html"]])
+    got = (
+        with_extracted_text(sdf)
+        .select("index", "extracted_text")
+        .toPandas()
+        .sort_values("index")
+        .reset_index(drop=True)
+    )
+    expect = [extract_text_reference(h) for h in pdf["html"]]
+    for t, e in zip(got["extracted_text"], expect):
+        assert t.encode() == e.encode()
+
+
+def test_reference_extractor_edge_cases():
+    assert extract_text_reference(b"<p>a&amp;b</p><p> two  words </p>") == "a&b\n\ntwo words"
+    assert extract_text_reference("<script>var x=1;</script><p>ok</p>") == "ok"
+    assert extract_text_reference("<html><body>bare text</body></html>") == "bare text"
+    assert extract_text_reference("") == ""
+
+
+def test_language_id_heuristic(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "text": [
+                "the cat is in the house and happy",
+                "der hund ist nicht hier und laut",
+                "le chat est dans une maison",
+                "el perro es una mascota que ladra",
+                "zzz qqq xxx",
+            ]
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select(language_id("text").alias("lang"))
+        .toPandas()["lang"]
+        .tolist()
+    )
+    assert out == ["en", "de", "fr", "es", "und"]

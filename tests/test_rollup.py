@@ -1,0 +1,105 @@
+"""Tier-cascade rollups vs a pure-pandas oracle on the synthetic pages
+table (golden rolled-up points per retention tier, SURVEY §5 adoption b)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from isp_trace_parser_spark import synth
+from isp_trace_parser_spark.operators import rollup
+
+N_URLS, N_SLOTS = 10, 48 * 40  # ~40 days, crosses a month boundary
+
+
+@pytest.fixture(scope="module")
+def tiers(spark):
+    df = synth.pages(spark, n_urls=N_URLS, n_slots=N_SLOTS, gap_pct=10)
+    return {k: v.toPandas() for k, v in rollup.build_tiers(df).items()}
+
+
+@pytest.fixture(scope="module")
+def raw_pdf():
+    return synth.pages_pandas(n_urls=N_URLS, n_slots=N_SLOTS, gap_pct=10)
+
+
+def _oracle(raw: pd.DataFrame, freq: str) -> pd.DataFrame:
+    df = raw.copy()
+    # end-of-interval bucket: ceil to the bucket end
+    df["bucket_ts"] = df["warc_ts"].dt.ceil(freq) if freq != "MS" else None
+    if freq == "MS":
+        shifted = df["warc_ts"] - pd.Timedelta(seconds=1)
+        df["bucket_ts"] = (
+            shifted.dt.to_period("M").dt.to_timestamp() + pd.DateOffset(months=1)
+        )
+    g = df.groupby(["url", "bucket_ts"])["value"]
+    out = g.agg(
+        avg_value="mean", min_value="min", max_value="max",
+        sum_value="sum", cnt_value="count",
+    ).reset_index()
+    return out.rename(columns={"url": "series"}).sort_values(
+        ["series", "bucket_ts"]
+    ).reset_index(drop=True)
+
+
+def _compare(spark_pdf: pd.DataFrame, oracle: pd.DataFrame):
+    got = spark_pdf.sort_values(["series", "bucket_ts"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    pd.testing.assert_series_equal(got["series"], oracle["series"])
+    pd.testing.assert_series_equal(got["bucket_ts"], oracle["bucket_ts"])
+    assert got["cnt_value"].equals(oracle["cnt_value"].astype("int64"))
+    for c in ["avg_value", "min_value", "max_value", "sum_value"]:
+        np.testing.assert_allclose(got[c], oracle[c], rtol=1e-12)
+
+
+def test_30m_tier(tiers, raw_pdf):
+    # half-hour-aligned input: 30m tier == raw points, bucket == warc_ts
+    _compare(tiers["agg_30m"], _oracle(raw_pdf, "30min"))
+
+
+def test_1d_tier(tiers, raw_pdf):
+    _compare(tiers["agg_1d"], _oracle(raw_pdf, "1D"))
+
+
+def test_1mo_tier(tiers, raw_pdf):
+    _compare(tiers["agg_1mo"], _oracle(raw_pdf, "MS"))
+
+
+def test_30m_bucket_is_end_of_interval(tiers, raw_pdf):
+    # every raw warc_ts is already an end-of-period label, so the 30m
+    # bucket must equal it exactly and each bucket holds exactly 1 point
+    t30 = tiers["agg_30m"]
+    assert (t30["cnt_value"] == 1).all()
+    raw = raw_pdf.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    got = t30.sort_values(["series", "bucket_ts"]).reset_index(drop=True)
+    assert got["bucket_ts"].equals(raw["warc_ts"])
+    assert (got["avg_value"].to_numpy() == raw["value"].to_numpy()).all()
+
+
+def test_mean_merge_matches_reference_a1(spark):
+    # A1: concat + group_by(datetime).mean (helper_functions.py:32-37)
+    a = synth.pages(spark, n_urls=2, n_slots=48).selectExpr(
+        "warc_ts as datetime", "value"
+    )
+    b = synth.pages(spark, n_urls=2, n_slots=48).selectExpr(
+        "warc_ts as datetime", "value * 3 as value"
+    )
+    merged = rollup.mean_merge([a, b]).toPandas()
+    pa = synth.pages_pandas(n_urls=2, n_slots=48)
+    oracle = (
+        pd.concat(
+            [
+                pa[["warc_ts", "value"]],
+                pa.assign(value=pa["value"] * 3)[["warc_ts", "value"]],
+            ]
+        )
+        .groupby("warc_ts")["value"]
+        .mean()
+        .reset_index()
+        .rename(columns={"warc_ts": "datetime"})
+        .sort_values("datetime")
+        .reset_index(drop=True)
+    )
+    assert len(merged) == 48
+    np.testing.assert_allclose(merged["value"], oracle["value"], rtol=1e-12)
