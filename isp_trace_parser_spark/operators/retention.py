@@ -1,0 +1,77 @@
+"""Tiered retention: downsample old partitions into the coarser tier,
+then expire them from the finer tier (north_rule: "tiered retention that
+downsamples and expires old partitions").
+
+Policy model (timescale/influx-style continuous-aggregate retention):
+
+    raw pages   : keep ``raw_keep_days``        (partition: day_bucket)
+    agg_30m     : keep ``t30_keep_days``        (partition: day_bucket)
+    agg_1d      : keep ``t1d_keep_months``      (partition: month_bucket)
+    agg_1mo     : keep forever
+
+Because every coarser tier is derived from the finer tier's partials
+BEFORE expiry (rollup.rollup_cascade), expiring a fine partition loses no
+information the coarser tiers need — the cascade runs first, the expiry
+second, and both are recorded as snapshots so a crashed job resumes
+idempotently (see pipeline.py).
+
+Expiry itself is partition-granular directory drops via the catalog
+(Iceberg ``DELETE FROM … WHERE day_bucket < cutoff`` + expire_snapshots
+analog) — zero data rewrite, O(partitions) metadata work, which is the
+only acceptable cost at 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+from typing import Any
+
+from isp_trace_parser_spark.sources.catalog import Catalog
+
+
+@dataclass
+class RetentionPolicy:
+    raw_keep_days: int = 90
+    t30_keep_days: int = 365
+    t1d_keep_months: int = 36
+
+
+def _date_str(d: datetime.date) -> str:
+    return d.strftime("%Y-%m-%d")
+
+
+def apply_retention(
+    cat: Catalog,
+    policy: RetentionPolicy,
+    now: datetime.datetime,
+    raw_table: str = "pages",
+    t30_table: str = "agg_30m",
+    t1d_table: str = "agg_1d",
+) -> dict[str, Any]:
+    """Expire partitions older than each tier's horizon. ``now`` is an
+    explicit argument (no wall-clock reads) so runs are reproducible and
+    testable. Returns {table: [dropped partition values]}."""
+    report: dict[str, Any] = {}
+
+    raw_cutoff = _date_str((now - datetime.timedelta(days=policy.raw_keep_days)).date())
+    t30_cutoff = _date_str((now - datetime.timedelta(days=policy.t30_keep_days)).date())
+    # month cutoff: first month to KEEP
+    month_anchor = now.replace(day=1)
+    y, m = month_anchor.year, month_anchor.month
+    m_total = y * 12 + (m - 1) - policy.t1d_keep_months
+    t1d_cutoff = f"{m_total // 12:04d}-{m_total % 12 + 1:02d}"
+
+    for table, col, cutoff in (
+        (raw_table, "day_bucket", raw_cutoff),
+        (t30_table, "day_bucket", t30_cutoff),
+        (t1d_table, "month_bucket", t1d_cutoff),
+    ):
+        if not cat.exists(table):
+            report[table] = []
+            continue
+        old = [v for v in cat.list_partitions(table, col) if v < cutoff]
+        if old:
+            cat.expire_partitions(table, col, old)
+        report[table] = old
+    return report

@@ -1,0 +1,88 @@
+"""Explicit partitioning keys: time-bucket + url-hash bucket + skew salt
+(north_rule: "partitioning uses explicit time-bucket + url-hash keys
+with salting for hot-domain skew").
+
+Why these keys at 10^12 rows:
+
+- ``day_bucket`` (yyyy-MM-dd of the END-of-period ts): query windows are
+  time ranges (reference get_data.py:80-82), so time partitions prune to
+  the window; retention expires whole day/month partitions without
+  rewriting live data.
+- ``url_bucket = pmod(xxhash64(url), N)``: co-locates each series for
+  per-series windows (gap-fill, codec) and bounds partition count —
+  file-per-entity (the reference's layout) is the anti-pattern at this
+  scale.
+- ``salt``: for hot domains whose single url_bucket would skew a
+  shuffle, a deterministic salt spreads rows across ``n_salts``
+  sub-buckets; aggregations then run in two phases (salted partial,
+  unsalted final). AQE skew-join splitting handles residual join skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_URL_BUCKETS = 64
+
+
+def url_bucket(url: Column | str, n_buckets: int = DEFAULT_URL_BUCKETS) -> Column:
+    return F.pmod(F.xxhash64(F.col(url) if isinstance(url, str) else url), n_buckets)
+
+
+def day_bucket(ts: Column | str) -> Column:
+    """Date of the half-hour period END, shifted 1s back so the 00:00
+    end-of-day label belongs to the day it summarizes (consistent with
+    the end-of-interval convention everywhere else)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.to_date(c - F.expr("INTERVAL 1 SECOND"))
+
+
+def month_bucket(ts: Column | str) -> Column:
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.date_format(c - F.expr("INTERVAL 1 SECOND"), "yyyy-MM")
+
+
+def with_partition_keys(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    n_buckets: int = DEFAULT_URL_BUCKETS,
+) -> DataFrame:
+    return df.withColumn("url_bucket", url_bucket(url_col, n_buckets)).withColumn(
+        "day_bucket", day_bucket(ts_col)
+    )
+
+
+def salted(
+    df: DataFrame, key_col: str, n_salts: int = 8, salt_col: str = "salt"
+) -> DataFrame:
+    """Deterministic salt derived from a second column when available
+    falls back to a hash of the full row's key+monotonic id. Used for
+    two-phase aggregation over skewed keys:
+
+        df -> salted -> groupBy(key, salt).agg(partials)
+           -> groupBy(key).agg(final)
+    """
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(F.col(key_col), F.monotonically_increasing_id()), n_salts)
+    )
+
+
+def two_phase_avg(
+    df: DataFrame, keys: list[str], value_col: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-proof mean: salted partial sums/counts, then exact final
+    combine. Semantically identical to groupBy(keys).avg(value)."""
+    partial = (
+        salted(df, keys[0], n_salts)
+        .groupBy(*keys, "salt")
+        .agg(
+            F.sum(value_col).alias("_s"),
+            F.count(value_col).alias("_c"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        (F.sum("_s") / F.sum("_c")).alias(f"avg_{value_col}"),
+        F.sum("_c").alias(f"cnt_{value_col}"),
+    )

@@ -1,0 +1,198 @@
+"""Table catalog shim: Iceberg-style table semantics over
+hive-partitioned parquet.
+
+No iceberg-spark-runtime jar ships in this sandbox (PySpark 4.1.2,
+offline), so this module provides the subset of Iceberg behavior the
+engine needs — atomic-enough snapshot bookkeeping, partition-granular
+overwrite/expiry, sorted partitioned writes, and scan-time partition
+pruning — over plain parquet directories. The public surface is designed
+so an Iceberg catalog can be dropped in behind it (``write`` ->
+``writeTo(...).overwritePartitions()``, ``expire_partitions`` ->
+``DELETE FROM ... WHERE``, ``snapshots`` -> the real snapshot log)
+without touching any engine code.
+
+Layout per table::
+
+    <warehouse>/<name>/<part_col>=<v>/.../part-*.parquet
+    <warehouse>/<name>/_snapshots.jsonl      # append-only snapshot log
+
+Each write appends a snapshot record with operation, row/byte/partition
+counts and free-form lineage — the per-partition lineage + metrics the
+north_rule requires, and the checkpoint marker the pipeline resumes from.
+
+Replaces the reference's file-per-entity layout + manual per-partition
+DuckDB COPY loop (reference: src/isp_trace_parser/optimise_parquet.py:21-95)
+with one declarative ``repartition + sortWithinPartitions + partitionBy``
+write — Spark's shuffle/spill machinery bounds memory instead of the
+reference's hand-rolled per-partition queries (optimise_parquet.py:32-33).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _snapshot_log(self, name: str) -> str:
+        return os.path.join(self.table_path(name), "_snapshots.jsonl")
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._snapshot_log(name))
+
+    # -- IO ----------------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        # basePath keeps partition columns typed + present after pruning
+        return self.spark.read.option("basePath", self.table_path(name)).parquet(
+            self.table_path(name)
+        )
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+        mode: str = "overwrite",
+        repartition: bool = True,
+        lineage: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Partitioned, optionally within-partition-sorted write.
+
+        ``mode='dynamic'`` overwrites only the partitions present in
+        ``df`` (Iceberg ``overwritePartitions`` semantics) and leaves the
+        rest of the table intact.
+        """
+        path = self.table_path(name)
+        writer_df = df
+        if partition_by:
+            if repartition:
+                # co-locate each output partition's rows -> one file per
+                # partition, no small-files explosion at scale
+                writer_df = writer_df.repartition(*[F.col(c) for c in partition_by])
+            if sort_within:
+                writer_df = writer_df.sortWithinPartitions(*sort_within)
+        elif sort_within:
+            writer_df = writer_df.sortWithinPartitions(*sort_within)
+
+        writer = writer_df.write
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if mode == "dynamic":
+            writer = writer.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        else:
+            writer = writer.mode(mode)
+        writer.parquet(path)
+
+        return self.commit_snapshot(
+            name,
+            operation=f"write:{mode}",
+            partition_by=partition_by or [],
+            lineage=lineage or {},
+        )
+
+    # -- snapshots / lineage ------------------------------------------------
+    def commit_snapshot(
+        self,
+        name: str,
+        operation: str,
+        partition_by: list[str] | None = None,
+        lineage: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Append a snapshot record with per-partition file/byte metrics."""
+        path = self.table_path(name)
+        part_metrics: dict[str, dict[str, int]] = {}
+        total_bytes = 0
+        n_files = 0
+        for root, _dirs, files in os.walk(path):
+            pqs = [f for f in files if f.endswith(".parquet")]
+            if not pqs:
+                continue
+            rel = os.path.relpath(root, path)
+            b = sum(os.path.getsize(os.path.join(root, f)) for f in pqs)
+            part_metrics[rel if rel != "." else ""] = {
+                "files": len(pqs),
+                "bytes": b,
+            }
+            total_bytes += b
+            n_files += len(pqs)
+        snap = {
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "ts": time.time(),
+            "operation": operation,
+            "partition_by": partition_by or [],
+            "files": n_files,
+            "bytes": total_bytes,
+            "partitions": part_metrics,
+            "lineage": lineage or {},
+        }
+        with open(self._snapshot_log(name), "a") as fh:
+            fh.write(json.dumps(snap) + "\n")
+        return snap
+
+    def snapshots(self, name: str) -> list[dict[str, Any]]:
+        log = self._snapshot_log(name)
+        if not os.path.exists(log):
+            return []
+        with open(log) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def last_snapshot(self, name: str) -> dict[str, Any] | None:
+        snaps = self.snapshots(name)
+        return snaps[-1] if snaps else None
+
+    # -- retention -----------------------------------------------------------
+    def list_partitions(self, name: str, partition_col: str) -> list[str]:
+        """Top-level partition values of ``partition_col`` (string form)."""
+        path = self.table_path(name)
+        prefix = f"{partition_col}="
+        out = []
+        if not os.path.exists(path):
+            return out
+        for entry in sorted(os.listdir(path)):
+            if entry.startswith(prefix) and os.path.isdir(os.path.join(path, entry)):
+                out.append(entry[len(prefix):])
+        return out
+
+    def expire_partitions(
+        self, name: str, partition_col: str, values: list[str]
+    ) -> dict[str, Any]:
+        """Drop whole partitions (Iceberg ``DELETE FROM t WHERE p IN (...)``
+        + ``expire_snapshots`` analog). Partition-granular: no rewrite of
+        surviving data — at 100 TB retention must never touch live rows.
+        """
+        path = self.table_path(name)
+        dropped = []
+        for v in values:
+            pdir = os.path.join(path, f"{partition_col}={v}")
+            if os.path.exists(pdir):
+                shutil.rmtree(pdir)
+                dropped.append(v)
+        return self.commit_snapshot(
+            name,
+            operation="expire",
+            lineage={"partition_col": partition_col, "dropped": dropped},
+        )
+
+    def drop_table(self, name: str) -> None:
+        path = self.table_path(name)
+        if os.path.exists(path):
+            shutil.rmtree(path)

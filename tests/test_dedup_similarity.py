@@ -1,0 +1,143 @@
+"""Dedup + similarity operators against testdata documents/embeddings,
+with small synthetic fixtures where ground truth must be controlled."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from isp_trace_parser_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+                "the quick brown fox jumps over the lazy cat",   # near dup
+                "a completely different document about spark",
+                "a completely different document about spark!",  # near dup of 3
+                "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+                "unrelated text with nothing shared at all zz",
+                "spark sql window functions and adaptive query execution",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup(spark, dup_docs):
+    out = dedup.exact_dedup(dup_docs).toPandas()
+    # 6 distinct texts
+    assert len(out) == 6
+    grp = out[out["dup_count"] == 3]
+    assert len(grp) == 1 and grp.iloc[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard_pairs(spark, dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.7).toPandas()
+    got = {tuple(sorted((r.d1, r.d2))) for r in pairs.itertuples()}
+    # exact dups (jaccard 1.0) and the fox/cat near-dup (8/10 tokens)
+    assert (0, 1) in got and (0, 5) in got and (1, 5) in got
+    assert (0, 2) in got
+    assert (3, 6) not in got
+    exact = pairs[(pairs.d1 == 0) & (pairs.d2 == 1)]
+    assert abs(exact.iloc[0]["jaccard"] - 1.0) < 1e-12
+
+
+def test_minhash_estimates_jaccard(spark, dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        dup_docs, num_perm=128, bands=32, threshold=0.5
+    ).toPandas()
+    got = {tuple(sorted((r.d1, r.d2))): r.est_jaccard for r in pairs.itertuples()}
+    assert got[(0, 1)] == 1.0  # identical signatures
+    assert (0, 2) in got and got[(0, 2)] > 0.5  # near dup caught
+    assert (3, 6) not in got
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    pairs = dedup.simhash_near_dup_pairs(dup_docs, max_hamming=10).toPandas()
+    got = {tuple(sorted((r.d1, r.d2))): r.hamming for r in pairs.itertuples()}
+    assert got[(0, 1)] == 0  # identical docs -> identical fingerprints
+    assert (0, 2) in got  # near dup within hamming budget
+
+
+def test_dedup_on_real_documents(spark, docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    assert out["dup_count"].sum() == docs.count()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _numpy_topk(emb_pdf, query, k):
+    M = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    q = np.array(query, dtype=np.float64)
+    sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((emb_pdf["vec_id"].to_numpy(), -sims))
+    return emb_pdf["vec_id"].to_numpy()[order][:k], np.sort(sims)[::-1][:k]
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    query = list(pdf.iloc[0]["embedding"])
+    got = similarity.brute_force_topk(emb, query, k=10).toPandas()
+    ids, sims = _numpy_topk(pdf, query, 10)
+    assert got["vec_id"].tolist() == list(ids)
+    np.testing.assert_allclose(got["cosine_sim"], sims, rtol=1e-6)
+    # the query vector itself is rank 1 with sim ~1
+    assert got.iloc[0]["vec_id"] == pdf.iloc[0]["vec_id"]
+    assert abs(got.iloc[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_lsh_topk_recall(spark, emb):
+    pdf = emb.toPandas()
+    query = list(pdf.iloc[7]["embedding"])
+    exact = set(
+        similarity.brute_force_topk(emb, query, k=5).toPandas()["vec_id"]
+    )
+    approx = similarity.lsh_bucketed_topk(
+        emb, query, k=5, bits=6, multiprobe_hamming=2
+    ).toPandas()
+    # self must be found; recall over exact top-5 should be decent
+    assert pdf.iloc[7]["vec_id"] in set(approx["vec_id"])
+    assert len(exact & set(approx["vec_id"])) >= 2
+
+
+def test_ivf_topk(spark, emb):
+    pdf = emb.toPandas()
+    query = list(pdf.iloc[3]["embedding"])
+    cents = similarity.train_centroids_sample(emb, n_centroids=8)
+    got = similarity.ivf_topk(emb, query, cents, k=5, nprobe=3).toPandas()
+    assert got.iloc[0]["vec_id"] == pdf.iloc[3]["vec_id"]
+
+
+def test_embedding_near_dup_pairs(spark):
+    # construct known near-dups: v, v + tiny noise
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for i, v in enumerate(base[:5]):
+        rows.append((100 + i, [float(x) for x in v + 0.001]))
+    df = (
+        pytest.importorskip("pyspark.sql").SparkSession.getActiveSession()
+        .createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.99, bits=4).toPandas()
+    got = {tuple(sorted((r.d1, r.d2))) for r in pairs.itertuples()}
+    for i in range(5):
+        assert (i, 100 + i) in got
