@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator family from SURVEY.md §2
+(and the training-data-pipeline extensions) over the driver's testdata
+tables; ``oracle_sql()`` holds the DuckDB-equivalent SQL. Float outputs
+are rounded identically on both sides (sums: 2dp, everything else: 4dp)
+so the value-hash compare is robust to summation-order differences
+between engines. Column names/aliases match exactly.
+
+Timestamp convention: engine-wide TIMESTAMP_NTZ (naive micros — the
+reference's ``Datetime[us]``); ``_prep`` pins the session to UTC so
+ntz<->ltz casts are wall-clock identity regardless of the driver's
+session defaults. Oracle SQL builds bucket timestamps with DuckDB's
+``make_timestamp(micros)`` (timezone-free) for the same reason.
 """
 
 from __future__ import annotations
@@ -12,27 +19,713 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from isp_trace_parser_spark.operators.rollup import (
+    DEC,
+    bucket_end,
+    monthly_from_daily,
+    rollup_cascade,
+    rollup_raw,
+)
+
+SEC_30M = 1800
+SEC_1D = 86400
+
+# DuckDB end-of-interval bucket (exact integer micros math, tz-free)
+def _bucket_sql(col: str, seconds: int) -> str:
+    b = seconds * 1_000_000
+    return f"make_timestamp(((epoch_us({col}) + {b - 1}) // {b}) * {b})"
 
 
+def _q(col, scale: int):
+    """Deterministic quantization used on BOTH engines: floor(x*10^n+0.5)
+    / 10^n in plain IEEE double ops. Engine-native round() differs at
+    representation boundaries (Spark rounds via exact BigDecimal, DuckDB
+    via float multiply), so identical inputs can round differently;
+    identical FP expressions cannot."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = float(10**scale)
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
+def _rewrite_rounds(sql: str) -> str:
+    """Rewrite every round(expr, n) in oracle SQL into the same
+    floor-based quantization as :func:`_q` (balanced-paren scan)."""
+    out = []
+    i = 0
+    while True:
+        j = sql.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        k = j + len("round(")
+        depth = 1
+        while depth:
+            depth += sql[k] == "("
+            depth -= sql[k] == ")"
+            k += 1
+        inner = sql[j + 6 : k - 1]
+        expr, _, n = inner.rpartition(",")
+        scale = 10 ** int(n.strip())
+        out.append(f"(floor(({expr}) * {scale}.0 + 0.5) / {scale}.0)")
+        i = k
+    return "".join(out)
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _round_aggs(df: DataFrame) -> DataFrame:
+    # engine tiers carry exact decimal sums (rollup.DEC); surface them as
+    # rounded doubles so both engines hash identical values
+    return df.select(
+        "series",
+        "bucket_ts",
+        _q("avg_value", 4).alias("avg_value"),
+        _q("min_value", 4).alias("min_value"),
+        _q("max_value", 4).alias("max_value"),
+        _q(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.col("cnt_value"),
+    )
+
+
+# decimal partial sums (exact, order-independent) mirror rollup.DEC;
+# avg derived as sum/count so both engines divide identical numbers
+_AGG_SQL = """round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_value,
+       count(value) AS cnt_value"""
+
+
+# --------------------------------------------------------------- tiers
+def q_rollup_30m(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return _round_aggs(rollup_raw(ev, "event_type", "ts", "value", SEC_30M, DEC))
+
+
+def q_rollup_1d(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    t30 = rollup_raw(ev, "event_type", "ts", "value", SEC_30M, DEC)
+    return _round_aggs(rollup_cascade(t30, SEC_1D))
+
+
+def q_rollup_1mo(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    t30 = rollup_raw(ev, "event_type", "ts", "value", SEC_30M, DEC)
+    t1d = rollup_cascade(t30, SEC_1D)
+    return _round_aggs(monthly_from_daily(t1d))
+
+
+def q_mean_merge_union(spark, sf_dir):
+    # U1 + A1: union of two traces of one entity, mean per timestamp
+    # (reference trace_restructure_helper_functions.py:32-37)
+    _prep(spark)
+    from isp_trace_parser_spark.operators.rollup import mean_merge
+
+    ev = _t(spark, sf_dir, "events").select(F.col("ts").alias("datetime"), "value")
+    doubled = ev.select("datetime", (F.col("value") * 2).alias("value"))
+    merged = mean_merge([ev, doubled], ts_col="datetime", value_col="value")
+    return merged.select("datetime", _q("value", 4).alias("value"))
+
+
+def q_two_phase_avg(spark, sf_dir):
+    # skew-proof salted partial agg == plain agg (plans/partitioning.py)
+    _prep(spark)
+    from isp_trace_parser_spark.plans.partitioning import two_phase_avg
+
+    ev = _t(spark, sf_dir, "events")
+    out = two_phase_avg(ev, ["event_type"], "value", n_salts=8)
+    return out.select(
+        "event_type",
+        _q("avg_value", 4).alias("avg_value"),
+        F.col("cnt_value"),
+    )
+
+
+# ------------------------------------------------------------ query api
+def q_window_fy(spark, sf_dir):
+    # P2/P3/P4/O2: FY window (half-open), list filter -> auto column
+    _prep(spark)
+    from isp_trace_parser_spark import api
+
+    ev = _t(spark, sf_dir, "events")
+    out = api.query_single_reference_year(
+        ev, 2024, 2024, None,
+        filters={"event_type": ["click", "view"]},
+        year_type="fy", ts_col="ts",
+    )
+    return out.select("ts", _q("value", 4).alias("value"), "event_type")
+
+
+def q_window_calendar_scalar(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark import api
+
+    ev = _t(spark, sf_dir, "events")
+    out = api.query_single_reference_year(
+        ev, 2024, 2024, None, filters={"event_type": "purchase"},
+        year_type="calendar", ts_col="ts",
+    )
+    return out.select("ts", _q("value", 4).alias("value"))
+
+
+def q_multi_window_union(spark, sf_dir):
+    # U2: per-window sub-plans concatenated in mapping order
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", _q("value", 4).alias("value"), "event_type"
+    )
+    w1 = ev.where(
+        (F.col("ts") > F.lit("2024-03-01 00:00:00")) & (F.col("ts") <= F.lit("2024-05-01 00:00:00"))
+    )
+    w2 = ev.where(
+        (F.col("ts") > F.lit("2024-01-01 00:00:00")) & (F.col("ts") <= F.lit("2024-03-01 00:00:00"))
+    )
+    return w1.unionByName(w2)
+
+
+# --------------------------------------------------------- restructure
+def q_unpivot_lineitem(spark, sf_dir):
+    # R1: wide -> long via stack(), no UDF
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) as (measure, value)"
+        ),
+    ).select("l_orderkey", "l_linenumber", "measure", _q("value", 4).alias("value"))
+
+
+def q_pivot_events_wide(spark, sf_dir):
+    # R4: long -> wide pivot
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            (F.sum(F.col("value").cast("decimal(20,4)")).cast("double") / F.count("value"))
+        )
+    )
+    return wide.select(
+        "user_id", *[_q(F.col(t), 4).alias(t) for t in types]
+    )
+
+
+def q_distinct_event_types(spark, sf_dir):
+    # A2: DISTINCT partition-value enumeration
+    _prep(spark)
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+# ---------------------------------------------------------------- joins
+def q_region_revenue(spark, sf_dir):
+    # J1: broadcast dim joins (dims are tiny -> broadcast hash join)
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        _q(F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_part_semi_join(spark, sf_dir):
+    # J3: left-semi restriction to entities present in the fact table
+    _prep(spark)
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 2000)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+def q_event_type_display(spark, sf_dir):
+    # J4: tiny literal mapping as a map lookup (scenario rename analog,
+    # reference demand_traces.py:137 + mappings/2024/demand.yaml)
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    mapping = {
+        "click": "Click Through", "view": "Page View", "purchase": "Purchase",
+        "signup": "Sign Up", "error": "Error Event",
+    }
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return ev.groupBy(
+        F.coalesce(m[F.col("event_type")], F.col("event_type")).alias("display_name")
+    ).agg(F.count("*").alias("n"))
+
+
+def q_tpch_q1(spark, sf_dir):
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _q(F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double"), 2).alias("sum_qty"),
+            _q(F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double"), 2).alias("sum_base_price"),
+            _q(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,6)")
+                ).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            _q(
+                F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+            _q(
+                F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double") / F.count("*"), 4
+            ).alias("avg_price"),
+            _q(
+                F.sum(F.col("l_discount").cast("decimal(20,4)")).cast("double") / F.count("*"), 4
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# -------------------------------------------------------------- windows
+def q_lag_delta(spark, sf_dir):
+    # §2.6: lag window (delta encoding preview)
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _q(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+def q_gapfill_30m(spark, sf_dir):
+    # densify + forward-fill (north_rule gap-fill)
+    _prep(spark)
+    from isp_trace_parser_spark.operators.gapfill import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    t30 = ev.groupBy(
+        F.col("user_id").alias("series"),
+        bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(20,4)")).cast("double") / F.count("value")).alias("value")
+    )
+    filled = gap_fill(t30, interval_seconds=SEC_30M)
+    return filled.select(
+        "series", "bucket_ts", _q("value", 4).alias("value"), "is_filled"
+    )
+
+
+def q_codec_roundtrip(spark, sf_dir):
+    # Gorilla codec is lossless bit-exact: decode(encode(tier)) must equal
+    # the tier, so the SQL oracle is the plain 30m rollup itself.
+    _prep(spark)
+    from isp_trace_parser_spark.operators import codec
+
+    ev = _t(spark, sf_dir, "events")
+    t30 = ev.groupBy(
+        F.col("user_id").cast("string").alias("series"),
+        bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(20,4)")).cast("double") / F.count("value")).alias("avg_value")
+    )
+    blocks = codec.encode_blocks(t30, "series", "bucket_ts", "avg_value", block="1 day")
+    out = codec.decode_blocks(blocks)
+    return out.select(
+        "series", F.col("ts").alias("bucket_ts"), _q("value", 4).alias("value")
+    )
+
+
+# ----------------------------------------------------------------- dedup
+def q_dedup_exact(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("keep_id", "dup_count")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.6)
+    return out.select("d1", "d2", _q("jaccard", 4).alias("jaccard"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.5)
+    return out.select("d1", "d2", _q("est_jaccard", 4).alias("est_jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+# ------------------------------------------------------------ similarity
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+
+def q_cosine_topk(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", _q("cosine_sim", 4).alias("cosine_sim"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk(
+        emb, _query_vec(spark, sf_dir), k=10, bits=6, multiprobe_hamming=2
+    )
+    return out.select("vec_id", _q("cosine_sim", 4).alias("cosine_sim"))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids_sample(emb, n_centroids=8)
+    out = ivf_topk(emb, _query_vec(spark, sf_dir), cents, k=10, nprobe=3)
+    return out.select("vec_id", _q("cosine_sim", 4).alias("cosine_sim"))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.35, bits=4)
+    return out.select("d1", "d2", _q("cosine_sim", 4).alias("cosine_sim"))
+
+
+# ------------------------------------------------------------------ text
+def q_text_stats(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.whitespace_token_count(t).alias("n_tokens_ws"),
+        T.bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.length(t).alias("n_chars_c"),
+        _q(T.punct_ratio(t), 4).alias("punct_ratio"),
+        _q(T.stopword_ratio(t), 4).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.functions.extract import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.functions.text import polynomial_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", polynomial_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ------------------------------------------------------------ multimodal
+def q_frame_sample_plan(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.functions.multimodal import (
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=128)
+    return frame_sample_plan(media, every_ms=1000)
+
+
+def q_media_features(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.functions.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=128)
+    out = extract_features(media)
+    return out.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim"))
+
+
+# ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
+    _prep(spark)
+    return q_rollup_1d(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_30m": q_rollup_30m,
+        "rollup_1d": q_rollup_1d,
+        "rollup_1mo": q_rollup_1mo,
+        "mean_merge_union": q_mean_merge_union,
+        "two_phase_avg_salted": q_two_phase_avg,
+        "window_fy": q_window_fy,
+        "window_calendar_scalar": q_window_calendar_scalar,
+        "multi_window_union": q_multi_window_union,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "pivot_events_wide": q_pivot_events_wide,
+        "distinct_event_types": q_distinct_event_types,
+        "region_revenue_broadcast": q_region_revenue,
+        "part_semi_join": q_part_semi_join,
+        "event_type_display_map": q_event_type_display,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "lag_delta": q_lag_delta,
+        "gapfill_30m": q_gapfill_30m,
+        "gorilla_codec_roundtrip": q_codec_roundtrip,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash_fingerprints": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "frame_sample_plan": q_frame_sample_plan,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    b30 = _bucket_sql("ts", SEC_30M)
+    b1d = _bucket_sql("ts", SEC_1D)
+    b1mo = "date_trunc('month', ts - INTERVAL 1 MICROSECOND) + INTERVAL 1 MONTH"
+
+    lang_markers = {
+        "en": ["the", "and", "of", "is", "in"],
+        "de": ["der", "und", "die", "ist", "nicht"],
+        "fr": ["le", "les", "est", "une", "dans"],
+        "es": ["el", "los", "es", "una", "que"],
+        "pt": ["o", "os", "uma", "não", "com"],
+        "ru": ["и", "в", "не", "это", "на"],
+    }
+    lang_union = " UNION ALL ".join(
+        "SELECT doc_id, t, '{lang}' AS lang, ({score}) AS score FROM prep".format(
+            lang=lang,
+            score=" + ".join(
+                f"CASE WHEN contains(t, ' {w} ') THEN 1 ELSE 0 END" for w in ws
+            ),
+        )
+        for lang, ws in lang_markers.items()
+    )
+
+    sqls = {
+        "rollup_30m": f"""
+            SELECT event_type AS series, {b30} AS bucket_ts, {_AGG_SQL}
+            FROM events GROUP BY 1, 2""",
+        "rollup_1d": f"""
+            SELECT event_type AS series, {b1d} AS bucket_ts, {_AGG_SQL}
+            FROM events GROUP BY 1, 2""",
+        "rollup_1mo": f"""
+            SELECT event_type AS series, {b1mo} AS bucket_ts, {_AGG_SQL}
+            FROM events GROUP BY 1, 2""",
+        "mean_merge_union": """
+            SELECT datetime,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value), 4) AS value
+            FROM (
+                SELECT ts AS datetime, value FROM events
+                UNION ALL SELECT ts AS datetime, value * 2 AS value FROM events
+            ) GROUP BY datetime""",
+        "two_phase_avg_salted": """
+            SELECT event_type,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value), 4) AS avg_value,
+                   count(value) AS cnt_value
+            FROM events GROUP BY 1""",
+        "window_fy": """
+            SELECT ts, round(value, 4) AS value, event_type FROM events
+            WHERE ts > TIMESTAMP '2023-07-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-07-01 00:00:00'
+              AND event_type IN ('click', 'view')""",
+        "window_calendar_scalar": """
+            SELECT ts, round(value, 4) AS value FROM events
+            WHERE ts > TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2025-01-01 00:00:00'
+              AND event_type = 'purchase'""",
+        "multi_window_union": """
+            SELECT ts, round(value, 4) AS value, event_type FROM events
+            WHERE ts > TIMESTAMP '2024-03-01 00:00:00' AND ts <= TIMESTAMP '2024-05-01 00:00:00'
+            UNION ALL
+            SELECT ts, round(value, 4) AS value, event_type FROM events
+            WHERE ts > TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-03-01 00:00:00'""",
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'quantity' AS measure, round(l_quantity, 4) AS value FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', round(l_extendedprice, 4) FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 4) FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber, 'tax', round(l_tax, 4) FROM lineitem""",
+        "pivot_events_wide": """
+            SELECT user_id,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(20,4))) AS DOUBLE)
+                         / count(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(20,4))) AS DOUBLE)
+                         / count(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(20,4))) AS DOUBLE)
+                         / count(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(20,4))) AS DOUBLE)
+                         / count(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(20,4))) AS DOUBLE)
+                         / count(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+            FROM events GROUP BY user_id""",
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "region_revenue_broadcast": """
+            SELECT r.r_name AS region,
+                   round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1""",
+        "part_semi_join": """
+            SELECT p_partkey, p_name FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey
+                            AND year(l.l_shipdate) = 2000)""",
+        "event_type_display_map": """
+            SELECT CASE event_type
+                     WHEN 'click' THEN 'Click Through' WHEN 'view' THEN 'Page View'
+                     WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Sign Up'
+                     WHEN 'error' THEN 'Error Event' ELSE event_type END AS display_name,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2""",
+        "lag_delta": """
+            SELECT user_id, event_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+            FROM events""",
+        "gapfill_30m": f"""
+            WITH b AS (SELECT user_id AS series, {b30} AS bucket_ts,
+                              CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value) AS v
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT series, min(bucket_ts) mn, max(bucket_ts) mx FROM b GROUP BY 1),
+            spine AS (SELECT series, unnest(generate_series(mn, mx, INTERVAL 30 MINUTE)) AS bucket_ts FROM r),
+            j AS (SELECT s.series, s.bucket_ts, b.v FROM spine s
+                  LEFT JOIN b ON b.series = s.series AND b.bucket_ts = s.bucket_ts)
+            SELECT series, bucket_ts,
+                   round(last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY series ORDER BY bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+                   v IS NULL AS is_filled
+            FROM j""",
+        "gorilla_codec_roundtrip": f"""
+            SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value), 4) AS value
+            FROM events GROUP BY 1, 2""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY text""",
+        "ngram_jaccard_pairs": r"""
+            WITH tok AS (SELECT DISTINCT doc_id,
+                                unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+                         FROM documents),
+            tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+            sz AS (SELECT doc_id, count(*) n FROM tok2 GROUP BY 1),
+            inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i
+                      FROM tok2 a JOIN tok2 b USING (tok)
+                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT d1, d2, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6""",
+        "cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 4) AS cosine_sim
+            FROM embeddings, q
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) DESC, vec_id ASC
+            LIMIT 10""",
+        "text_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+                   length(text) AS n_chars_c,
+                   round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+                         / nullif(length(text), 0), 4) AS punct_ratio,
+                   round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> list_contains(['the','and','of','to','a','in','is','it','that','for','on','was','with','as','at','by','an','be','this','are'], x))) * 1.0
+                         / nullif(len(regexp_split_to_array(lower(text), '\s+')), 0), 4) AS stopword_ratio
+            FROM documents""",
+        "lang_id": rf"""
+            WITH prep AS (SELECT doc_id,
+                                 ' ' || lower(regexp_replace(text, '[^\w\s]', ' ', 'g')) || ' ' AS t
+                          FROM documents),
+            scored AS ({lang_union}),
+            best AS (SELECT doc_id, max(struct_pack(score := score, lang := lang)) AS b
+                     FROM scored GROUP BY doc_id)
+            SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+            FROM best""",
+        # minhash_lsh_pairs / simhash_fingerprints / ann_* /
+        # embedding_near_dups / doc_fingerprints / frame_sample_plan /
+        # media_features: hash- or approximation-based — not expressible
+        # as engine-portable ANSI SQL; the driver records rows-only checks
+        # and the pytest suite holds their ground-truth assertions.
+    }
+    return {k: _rewrite_rounds(v) for k, v in sqls.items()}

@@ -1,0 +1,116 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "rollup_rows_per_sec": ..., "compression_ratio": ...}
+
+The rollup_rows_per_sec + compression_ratio fields speak to the
+BASELINE.json north metric directly (rollup throughput across 3 tiers +
+Gorilla ratio); per-query seconds cover the get_data-parity and
+training-data operators. bench/scaling.py reruns the rollup job at two
+parallelism levels for the N-vs-4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "rollup_30m",
+    "rollup_1d",
+    "rollup_1mo",
+    "gapfill_30m",
+    "gorilla_codec_roundtrip",
+    "window_fy",
+    "tpch_q1_pricing_summary",
+    "region_revenue_broadcast",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    from isp_trace_parser_spark.session import get_spark
+    from isp_trace_parser_spark import synth
+    from isp_trace_parser_spark.operators import codec, rollup
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS * 2, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    results: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once (not measured)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # force full execution without driver collect cost
+        dt = time.perf_counter() - t0
+        results[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    # --- north-metric job: 3-tier rollup + codec over synthetic pages ---
+    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "2000"))
+    n_slots = int(os.environ.get("SPARK_GRAFT_BENCH_SLOTS", str(48 * 30)))
+    pages = synth.pages(
+        spark, n_urls=n_urls, n_slots=n_slots, gap_pct=5,
+        partitions=max(CPUS * 2, 32),
+    ).select("url", "warc_ts", "value")
+    n_rows = n_urls * n_slots  # upper bound; gaps remove ~5%
+    t0 = time.perf_counter()
+    tiers = rollup.build_tiers(pages)
+    blocks = codec.encode_blocks(tiers["agg_30m"])
+    stats = codec.compression_report(blocks).collect()[0]
+    for t in ("agg_1d", "agg_1mo"):
+        tiers[t].count()
+    rollup_dt = time.perf_counter() - t0
+    points = int(stats["points"])
+    ratio = float(stats["ratio"])
+    results["rollup_pipeline"] = round(rollup_dt, 3)
+    total += rollup_dt
+    print(
+        f"# rollup_pipeline: {rollup_dt:.3f}s points={points} "
+        f"(of {n_rows} synth rows) ratio={ratio:.3f}",
+        file=sys.stderr,
+    )
+
+    out = {
+        "metric": "headline suite wall time (3-tier rollup+codec, gapfill, "
+        "get_data-parity windows, dedup/ANN/text) at sf",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "rollup_rows_per_sec": round(points / rollup_dt, 1),
+        "compression_ratio": round(ratio, 4),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

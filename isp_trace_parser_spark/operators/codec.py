@@ -50,7 +50,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
     DoubleType,
 )
 
@@ -212,7 +212,7 @@ def decode_block(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
 BLOCK_SCHEMA = StructType(
     [
         StructField("series", StringType()),
-        StructField("block_start", TimestampType()),
+        StructField("block_start", TimestampNTZType()),
         StructField("n_points", IntegerType()),
         StructField("raw_bytes", LongType()),
         StructField("enc_bytes", LongType()),
@@ -223,7 +223,7 @@ BLOCK_SCHEMA = StructType(
 POINT_SCHEMA = StructType(
     [
         StructField("series", StringType()),
-        StructField("ts", TimestampType()),
+        StructField("ts", TimestampNTZType()),
         StructField("value", DoubleType()),
     ]
 )

@@ -29,13 +29,36 @@ TIER_SECONDS = {"30m": 1800, "1d": 86400}
 
 AGG_COLS = ["avg_value", "min_value", "max_value", "sum_value", "cnt_value"]
 
+# Optional exact partial sums: float summation is order-dependent, so a
+# re-run (or another engine) can disagree in the last ulp — visible
+# after rounding. Passing ``sum_cast="decimal(20,4)"`` sums exactly
+# (associative), with avg derived as sum/count — identical everywhere.
+# Only correct when the source values have <= 4 fractional digits (the
+# cast would silently round otherwise), so it is OPT-IN; the default
+# keeps full double precision for arbitrary float traces.
+DEC = "decimal(20,4)"
+
+
+def _sum_expr(value_col: str, sum_cast: str | None):
+    c = F.col(value_col)
+    return F.sum(c.cast(sum_cast) if sum_cast else c)
+
 
 def bucket_end(ts: Column, seconds: int) -> Column:
     """END-of-interval bucket label: smallest multiple of ``seconds``
     >= ts (half-open (start, end] semantics, reference get_data.py:80-82
-    and trace_formatter end-of-period convention)."""
-    e = F.unix_timestamp(ts)
-    return F.timestamp_seconds(F.ceil(e / F.lit(seconds)).cast("long") * seconds)
+    and trace_formatter end-of-period convention).
+
+    Exact integer math on microseconds — ``unix_timestamp`` truncates
+    sub-second precision and float ceil rounds at boundaries, both of
+    which mis-bucket points epsilon past a bucket edge."""
+    b = seconds * 1_000_000
+    # session TZ is pinned UTC, so the tz<->ntz casts are wall-clock
+    # identity; unix_micros requires TIMESTAMP, the engine standard is NTZ
+    # explicit _ltz: with spark.sql.timestampType=TIMESTAMP_NTZ, the
+    # plain "timestamp" cast string resolves to NTZ
+    e = F.unix_micros(ts.cast("timestamp_ltz")) + (b - 1)
+    return F.timestamp_micros(e - F.pmod(e, F.lit(b))).cast("timestamp_ntz")
 
 
 def rollup_raw(
@@ -44,6 +67,7 @@ def rollup_raw(
     ts_col: str = "warc_ts",
     value_col: str = "value",
     tier_seconds: int = 1800,
+    sum_cast: str | None = None,
 ) -> DataFrame:
     """Finest tier: raw points -> per-(series, bucket) aggregates."""
     return (
@@ -52,10 +76,13 @@ def rollup_raw(
             bucket_end(F.col(ts_col), tier_seconds).alias("bucket_ts"),
         )
         .agg(
-            F.avg(value_col).alias("avg_value"),
+            (
+                _sum_expr(value_col, sum_cast).cast("double")
+                / F.count(value_col)
+            ).alias("avg_value"),
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
-            F.sum(value_col).alias("sum_value"),
+            _sum_expr(value_col, sum_cast).alias("sum_value"),
             F.count(value_col).alias("cnt_value"),
         )
     )
@@ -75,7 +102,9 @@ def rollup_cascade(tier: DataFrame, coarser_seconds: int) -> DataFrame:
             ),
         )
         .agg(
-            (F.sum("sum_value") / F.sum("cnt_value")).alias("avg_value"),
+            (F.sum("sum_value").cast("double") / F.sum("cnt_value")).alias(
+                "avg_value"
+            ),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
             F.sum("sum_value").alias("sum_value"),
@@ -98,7 +127,9 @@ def monthly_from_daily(daily: DataFrame) -> DataFrame:
     return (
         daily.groupBy("series", month_end.alias("bucket_ts"))
         .agg(
-            (F.sum("sum_value") / F.sum("cnt_value")).alias("avg_value"),
+            (F.sum("sum_value").cast("double") / F.sum("cnt_value")).alias(
+                "avg_value"
+            ),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
             F.sum("sum_value").alias("sum_value"),
@@ -112,9 +143,10 @@ def build_tiers(
     series_col: str = "url",
     ts_col: str = "warc_ts",
     value_col: str = "value",
+    sum_cast: str | None = None,
 ) -> dict[str, DataFrame]:
     """The full cascade raw -> 30m -> 1d -> 1mo. One raw scan total."""
-    t30 = rollup_raw(df, series_col, ts_col, value_col, TIER_SECONDS["30m"])
+    t30 = rollup_raw(df, series_col, ts_col, value_col, TIER_SECONDS["30m"], sum_cast)
     t1d = rollup_cascade(t30, TIER_SECONDS["1d"])
     t1mo = monthly_from_daily(t1d)
     return {"agg_30m": t30, "agg_1d": t1d, "agg_1mo": t1mo}

@@ -78,11 +78,13 @@ def two_phase_avg(
         salted(df, keys[0], n_salts)
         .groupBy(*keys, "salt")
         .agg(
-            F.sum(value_col).alias("_s"),
+            # exact decimal partials: result independent of salt count
+            # and partitioning (see rollup.DEC rationale)
+            F.sum(F.col(value_col).cast("decimal(20,4)")).alias("_s"),
             F.count(value_col).alias("_c"),
         )
     )
     return partial.groupBy(*keys).agg(
-        (F.sum("_s") / F.sum("_c")).alias(f"avg_{value_col}"),
+        (F.sum("_s").cast("double") / F.sum("_c")).alias(f"avg_{value_col}"),
         F.sum("_c").alias(f"cnt_{value_col}"),
     )

@@ -67,6 +67,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # naive timestamps engine-wide: exact match for the reference's
+        # Datetime[us] (trace_formatter.py:90) and for DuckDB/parquet
+        # isAdjustedToUTC=false columns
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")

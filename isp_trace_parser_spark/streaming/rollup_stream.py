@@ -1,0 +1,66 @@
+"""Structured-Streaming surface for the 30-minute tier.
+
+The reference is pure batch (SURVEY §2.11); this is the incremental
+variant for live crawls: the same end-of-interval 30m aggregation as
+``operators.rollup.rollup_raw``, expressed as a watermarked streaming
+aggregation. Late rows inside the watermark update their bucket; rows
+later than the watermark are dropped (the reference has no late-data
+semantics to honor — it assumes complete input).
+
+Batch/stream parity is tested by feeding the same rows through both
+paths (tests/test_streaming.py): the streaming result in complete/append
+mode must equal the batch rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_rollup_30m(
+    stream: DataFrame,
+    series_col: str = "url",
+    ts_col: str = "warc_ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming 30m tier: tumbling window + watermark.
+
+    Uses ``F.window`` (streaming state requires the built-in window
+    column for retention); the bucket label is the window END —
+    identical labels to the batch tier's ``bucket_end``.
+    """
+    # watermarks require TIMESTAMP (ltz); UTC session makes the ntz<->ltz
+    # casts wall-clock identity, and the label is cast back to the
+    # engine-standard ntz below
+    return (
+        stream.withColumn("_ts_ltz", F.col(ts_col).cast("timestamp_ltz"))
+        .withWatermark("_ts_ltz", watermark)
+        .groupBy(
+            F.col(series_col).alias("series"),
+            F.window(
+                # shift 1us back so points exactly on a boundary label
+                # their own bucket (end-of-interval (start, end]), then
+                # take the window END as the label
+                F.col("_ts_ltz") - F.expr("INTERVAL 1 MICROSECOND"),
+                "30 minutes",
+            ),
+        )
+        .agg(
+            F.avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.sum(value_col).alias("sum_value"),
+            F.count(value_col).alias("cnt_value"),
+        )
+        .select(
+            "series",
+            F.col("window.end").cast("timestamp_ntz").alias("bucket_ts"),
+            "avg_value",
+            "min_value",
+            "max_value",
+            "sum_value",
+            "cnt_value",
+        )
+    )

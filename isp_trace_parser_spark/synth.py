@@ -79,9 +79,10 @@ def pages(
         F.lit("https://site"), dom.cast("string"), F.lit(".example.com/page/"),
         url_id.cast("string"),
     )
-    # Session TZ pinned UTC -> TimestampType == naive micros (reference's
-    # Datetime[us], trace_formatter.py:90).
-    ts = F.timestamp_seconds(F.lit(T0_EPOCH) + slot * HALF_HOUR)
+    # Engine standard: TIMESTAMP_NTZ == the reference's naive
+    # Datetime[us] (trace_formatter.py:90); UTC session makes the cast
+    # wall-clock identity.
+    ts = F.timestamp_seconds(F.lit(T0_EPOCH) + slot * HALF_HOUR).cast("timestamp_ntz")
 
     # Deterministic per-url trace parameters from crc32(url) — identical
     # in JVM (F.crc32) and Python (zlib.crc32).
