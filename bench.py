@@ -72,7 +72,14 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
-    # --- north-metric job: 3-tier rollup + codec over synthetic pages ---
+    # --- north-metric job: 3-tier rollup + codec over synthetic pages,
+    # through the real catalog-backed pipeline (one raw scan, tiers
+    # cascaded from stored partials, partitioned writes) ---
+    import tempfile
+
+    from isp_trace_parser_spark.pipeline import ingest_pages, run_rollup_pipeline
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
     n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "2000"))
     n_slots = int(os.environ.get("SPARK_GRAFT_BENCH_SLOTS", str(48 * 30)))
     pages = synth.pages(
@@ -80,13 +87,12 @@ def main() -> None:
         partitions=max(CPUS * 2, 32),
     ).select("url", "warc_ts", "value")
     n_rows = n_urls * n_slots  # upper bound; gaps remove ~5%
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="bench_wh_") + "/wh")
     t0 = time.perf_counter()
-    tiers = rollup.build_tiers(pages)
-    blocks = codec.encode_blocks(tiers["agg_30m"])
-    stats = codec.compression_report(blocks).collect()[0]
-    for t in ("agg_1d", "agg_1mo"):
-        tiers[t].count()
+    ingest_pages(cat, pages, n_buckets=max(CPUS, 16))
+    res = run_rollup_pipeline(spark, cat)
     rollup_dt = time.perf_counter() - t0
+    stats = codec.compression_report(cat.read("blocks_30m")).collect()[0]
     points = int(stats["points"])
     ratio = float(stats["ratio"])
     results["rollup_pipeline"] = round(rollup_dt, 3)

@@ -1,27 +1,37 @@
 """End-to-end rollup + retention pipeline with snapshot checkpointing
-and per-partition lineage.
+and per-partition lineage — snapshot-diff incremental processing.
 
 Stage DAG (one raw scan total, reference §3.1 collapsed into declarative
-Spark per SURVEY §7.4):
+Spark per SURVEY §7.4)::
 
     pages (raw, day_bucket x url_bucket partitions)
-      └─ stage "agg_30m": groupBy(url, 30m bucket) -> write partitioned
-           └─ stage "agg_1d": re-agg partials -> write
-                └─ stage "agg_1mo": re-agg partials -> write
-           └─ stage "blocks_30m": Gorilla-encode per (url, day) block
-      └─ stage "retention": expire partitions past each tier's horizon
+      └─ agg_30m   groupBy(url, 30m bucket)            [diff vs pages]
+           └─ agg_1d    re-agg partials                [diff vs agg_30m]
+                └─ agg_1mo  re-agg partials            [diff vs agg_1d]
+           └─ blocks_30m  Gorilla blocks               [diff vs agg_30m]
+      └─ retention: expire partitions past each tier's horizon
 
-Checkpoint/resume: each stage commits a snapshot whose lineage records
-the INPUT day-partition watermark it covered. On restart, stages whose
-snapshot watermark already covers the input are skipped (idempotent
-re-run), mirroring Iceberg snapshot-based incremental processing. The
-driver does no per-partition looping — skipping happens at stage
-granularity, and within a stage Spark's own scheduler owns parallelism.
+Incremental model (the Iceberg-snapshot analog): every catalog commit
+records a per-partition file fingerprint (catalog.py). Each stage stores
+the input-partition fingerprint map it processed in its snapshot
+lineage. On the next run the stage diffs the input's CURRENT map against
+the recorded one and recomputes ONLY changed/new partitions (dynamic
+partition overwrite); unchanged and expired partitions are untouched, so
+
+- re-running after a crash resumes at the unfinished stage;
+- a retention pass never forces recomputation;
+- tier history retained past raw expiry is never destroyed;
+- late rewrites of OLD raw days are detected (fingerprint change), not
+  just appends — a plain high-watermark would miss them.
+
+No driver-side per-partition loops: the diff is O(partitions) metadata;
+within a stage Spark's scheduler owns parallelism.
 """
 
 from __future__ import annotations
 
 import datetime
+import hashlib
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -45,24 +55,48 @@ class PipelineResult:
     metrics: dict[str, Any] = field(default_factory=dict)
 
 
-def _watermark(df: DataFrame, ts_col: str) -> str | None:
-    row = df.agg(F.max(ts_col).alias("wm")).collect()[0]
-    return str(row["wm"]) if row["wm"] is not None else None
+def partition_state(cat: Catalog, table: str, col: str) -> dict[str, str]:
+    """Current per-top-level-partition fingerprint map of ``table``,
+    aggregated from the last snapshot's directory fingerprints (nested
+    sub-partitions fold into their parent's fingerprint)."""
+    last = cat.last_snapshot(table)
+    if last is None:
+        return {}
+    agg: dict[str, list[str]] = {}
+    prefix = f"{col}="
+    for rel, m in last.get("partitions", {}).items():
+        if not rel.startswith(prefix):
+            continue
+        v = rel.split("/", 1)[0][len(prefix):]
+        agg.setdefault(v, []).append(f"{rel}:{m.get('sig', m.get('bytes'))}")
+    return {
+        v: hashlib.sha1("|".join(sorted(xs)).encode()).hexdigest()[:12]
+        for v, xs in agg.items()
+    }
 
 
-def _last_write_watermark(cat: Catalog, table: str) -> str | None:
-    """Watermark of the last WRITE snapshot — expire/retention snapshots
-    carry no input_watermark and must not mask it (a retention pass must
-    never force recomputation of a tier)."""
+def _recorded_state(cat: Catalog, table: str) -> dict[str, str]:
+    """Input state recorded by the table's last write stage."""
     for snap in reversed(cat.snapshots(table)):
-        wm = snap.get("lineage", {}).get("input_watermark")
-        if wm is not None:
-            return wm
-    return None
+        st = snap.get("lineage", {}).get("input_state")
+        if st is not None:
+            return st
+    return {}
 
 
-def _already_done(cat: Catalog, table: str, watermark: str | None) -> bool:
-    return watermark is not None and _last_write_watermark(cat, table) == watermark
+def _changed_partitions(
+    cat: Catalog, out_table: str, in_state: dict[str, str]
+) -> list[str] | None:
+    """Partitions of the input that are new or rewritten since
+    ``out_table`` last ran. None => first run (recompute everything);
+    [] => up to date (skip). Partitions that VANISHED from the input
+    (retention expiry) do not trigger recomputation."""
+    if not cat.exists(out_table):
+        return None
+    recorded = _recorded_state(cat, out_table)
+    if not recorded:
+        return None
+    return [v for v, sig in in_state.items() if recorded.get(v) != sig]
 
 
 def ingest_pages(
@@ -96,114 +130,111 @@ def run_rollup_pipeline(
     encode_blocks: bool = True,
 ) -> PipelineResult:
     res = PipelineResult()
-    raw = cat.read(raw_table)
-    wm = _watermark(raw, "warc_ts")
 
-    def _cutoff_date(prev_wm: str | None) -> datetime.date | None:
-        """First day partition that may contain data newer than the
-        previous run: the (end-of-interval) day of the old watermark."""
-        if prev_wm is None:
-            return None
-        dt = datetime.datetime.fromisoformat(prev_wm)
-        return (dt - datetime.timedelta(seconds=1)).date()
+    def _stage(
+        name: str,
+        in_table: str,
+        in_col: str,
+        build,  # (input_df) -> output df with its partition col attached
+        partition_by: list[str] | None,
+        sort_within: list[str],
+        to_months: bool = False,
+    ) -> None:
+        in_state = partition_state(cat, in_table, in_col)
+        changed = _changed_partitions(cat, name, in_state)
+        if changed == []:
+            res.stages_skipped.append(name)
+            return
+        src = cat.read(in_table)
+        if changed is not None:
+            if to_months:
+                # day-level changes -> recompute the affected months in
+                # full from the retained finer tier
+                months = sorted({d[:7] for d in changed})
+                src = src.where(
+                    F.date_format(F.col(in_col), "yyyy-MM").isin(months)
+                )
+            else:
+                src = src.where(F.col(in_col).isin(changed))
+        out = build(src)
+        snap = cat.write(
+            out,
+            name,
+            partition_by=partition_by,
+            sort_within=sort_within,
+            mode="dynamic" if partition_by else "overwrite",
+            lineage={
+                "stage": name,
+                "input_table": in_table,
+                "input_state": in_state,
+                "recomputed_partitions": changed,
+            },
+        )
+        res.metrics[name] = {"files": snap["files"], "bytes": snap["bytes"]}
+        res.stages_run.append(name)
 
-    # -- tier 30m (the one raw scan; incremental over day partitions) ----
-    if _already_done(cat, "agg_30m", wm):
-        res.stages_skipped.append("agg_30m")
-    else:
-        cutoff = _cutoff_date(_last_write_watermark(cat, "agg_30m"))
-        src = raw if cutoff is None else raw.where(F.col("day_bucket") >= F.lit(cutoff))
-        t30 = rollup.rollup_raw(src, "url", "warc_ts", "value").withColumn(
+    # -- tier 30m: the one raw scan ------------------------------------
+    _stage(
+        "agg_30m",
+        raw_table,
+        "day_bucket",
+        lambda src: rollup.rollup_raw(src, "url", "warc_ts", "value").withColumn(
             "day_bucket", F.to_date(F.col("bucket_ts") - F.expr("INTERVAL 1 SECOND"))
-        )
-        # dynamic partition overwrite: only recomputed day partitions are
-        # replaced — tier history retained past raw expiry is untouched
-        snap = cat.write(
-            t30,
-            "agg_30m",
-            partition_by=["day_bucket"],
-            sort_within=["series", "bucket_ts"],
-            mode="dynamic",
-            lineage={"stage": "agg_30m", "input_watermark": wm,
-                     "incremental_from": str(cutoff) if cutoff else None},
-        )
-        res.metrics["agg_30m"] = {"files": snap["files"], "bytes": snap["bytes"]}
-        res.stages_run.append("agg_30m")
+        ),
+        partition_by=["day_bucket"],
+        sort_within=["series", "bucket_ts"],
+    )
 
-    # -- tier 1d from 30m partials (incremental over month partitions) ---
-    if _already_done(cat, "agg_1d", wm):
-        res.stages_skipped.append("agg_1d")
-    else:
-        cutoff = _cutoff_date(_last_write_watermark(cat, "agg_1d"))
-        t30_stored = cat.read("agg_30m")
-        if cutoff is not None:
-            # recompute affected months in full (agg_30m retains >= 1
-            # month of history by policy construction)
-            month_start = cutoff.replace(day=1)
-            t30_stored = t30_stored.where(F.col("day_bucket") >= F.lit(month_start))
-        t1d = rollup.rollup_cascade(
-            t30_stored.drop("day_bucket"), rollup.TIER_SECONDS["1d"]
-        ).withColumn("month_bucket", month_bucket("bucket_ts"))
-        snap = cat.write(
-            t1d,
-            "agg_1d",
-            partition_by=["month_bucket"],
-            sort_within=["series", "bucket_ts"],
-            mode="dynamic",
-            lineage={"stage": "agg_1d", "input_watermark": wm,
-                     "incremental_from": str(cutoff) if cutoff else None},
-        )
-        res.metrics["agg_1d"] = {"files": snap["files"], "bytes": snap["bytes"]}
-        res.stages_run.append("agg_1d")
+    # -- tier 1d from 30m partials --------------------------------------
+    _stage(
+        "agg_1d",
+        "agg_30m",
+        "day_bucket",
+        lambda src: rollup.rollup_cascade(
+            src.drop("day_bucket"), rollup.TIER_SECONDS["1d"]
+        ).withColumn("month_bucket", month_bucket("bucket_ts")),
+        partition_by=["month_bucket"],
+        sort_within=["series", "bucket_ts"],
+        to_months=True,
+    )
 
-    # -- tier 1mo from 1d partials (tiny table: full rewrite) -------------
-    if _already_done(cat, "agg_1mo", wm):
+    # -- tier 1mo from 1d partials (tiny: full rewrite when 1d changed) --
+    in_state_1mo = partition_state(cat, "agg_1d", "month_bucket")
+    changed_1mo = _changed_partitions(cat, "agg_1mo", in_state_1mo)
+    if changed_1mo == []:
         res.stages_skipped.append("agg_1mo")
     else:
-        t1d_stored = cat.read("agg_1d").drop("month_bucket")
-        t1mo = rollup.monthly_from_daily(t1d_stored)
+        t1mo = rollup.monthly_from_daily(cat.read("agg_1d").drop("month_bucket"))
         snap = cat.write(
             t1mo,
             "agg_1mo",
             sort_within=["series", "bucket_ts"],
             mode="overwrite",
-            lineage={"stage": "agg_1mo", "input_watermark": wm},
+            lineage={"stage": "agg_1mo", "input_table": "agg_1d",
+                     "input_state": in_state_1mo},
         )
         res.metrics["agg_1mo"] = {"files": snap["files"], "bytes": snap["bytes"]}
         res.stages_run.append("agg_1mo")
 
-    # -- Gorilla blocks over the 30m tier (incremental like agg_30m) ------
+    # -- Gorilla blocks over the 30m tier --------------------------------
     if encode_blocks:
-        if _already_done(cat, "blocks_30m", wm):
-            res.stages_skipped.append("blocks_30m")
-        else:
-            cutoff = _cutoff_date(_last_write_watermark(cat, "blocks_30m"))
-            t30_stored = cat.read("agg_30m")
-            if cutoff is not None:
-                t30_stored = t30_stored.where(F.col("day_bucket") >= F.lit(cutoff))
-            blocks = codec.encode_blocks(
-                t30_stored, "series", "bucket_ts", "avg_value", block="1 day"
-            ).withColumn("day_bucket", F.to_date("block_start"))
-            snap = cat.write(
-                blocks,
-                "blocks_30m",
-                partition_by=["day_bucket"],
-                sort_within=["series"],
-                mode="dynamic",
-                lineage={"stage": "blocks_30m", "input_watermark": wm,
-                         "incremental_from": str(cutoff) if cutoff else None},
-            )
+        _stage(
+            "blocks_30m",
+            "agg_30m",
+            "day_bucket",
+            lambda src: codec.encode_blocks(
+                src, "series", "bucket_ts", "avg_value", block="1 day"
+            ).withColumn("day_bucket", F.to_date("block_start")),
+            partition_by=["day_bucket"],
+            sort_within=["series"],
+        )
+        if "blocks_30m" in res.stages_run:
             ratio = (
                 cat.read("blocks_30m")
                 .agg((F.sum("raw_bytes") / F.sum("enc_bytes")).alias("r"))
                 .collect()[0]["r"]
             )
-            res.metrics["blocks_30m"] = {
-                "files": snap["files"],
-                "bytes": snap["bytes"],
-                "compression_ratio": ratio,
-            }
-            res.stages_run.append("blocks_30m")
+            res.metrics["blocks_30m"]["compression_ratio"] = ratio
 
     # -- retention ------------------------------------------------------
     if policy is not None and now is not None:

@@ -29,6 +29,7 @@ reference's hand-rolled per-partition queries (optimise_parquet.py:32-33).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -128,9 +129,19 @@ class Catalog:
                 continue
             rel = os.path.relpath(root, path)
             b = sum(os.path.getsize(os.path.join(root, f)) for f in pqs)
+            # fingerprint = hash of (name, size) pairs: every Spark write
+            # produces fresh part-file UUIDs, so any rewrite changes the
+            # sig — the basis for snapshot-diff incremental processing
+            sig = hashlib.sha1(
+                "|".join(
+                    f"{f}:{os.path.getsize(os.path.join(root, f))}"
+                    for f in sorted(pqs)
+                ).encode()
+            ).hexdigest()[:12]
             part_metrics[rel if rel != "." else ""] = {
                 "files": len(pqs),
                 "bytes": b,
+                "sig": sig,
             }
             total_bytes += b
             n_files += len(pqs)

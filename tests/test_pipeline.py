@@ -60,11 +60,12 @@ def test_pipeline_tiers_and_resume(spark, cat):
     assert res2.stages_run == []
     assert res2.stages_skipped == ["agg_30m", "agg_1d", "agg_1mo", "blocks_30m"]
 
-    # snapshots carry lineage
+    # snapshots carry lineage: the input-partition fingerprint map
     last = cat.last_snapshot("agg_30m")
     assert last["lineage"]["stage"] == "agg_30m"
-    assert last["lineage"]["input_watermark"] is not None
-    assert last["partitions"]  # per-partition bytes/files recorded
+    assert last["lineage"]["input_state"]
+    assert last["partitions"]  # per-partition bytes/files/sig recorded
+    assert all("sig" in m for m in last["partitions"].values())
 
 
 def test_retention_expires_old_partitions(spark, cat):
