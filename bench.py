@@ -88,8 +88,9 @@ def main() -> None:
     ).select("url", "warc_ts", "value")
     n_rows = n_urls * n_slots  # upper bound; gaps remove ~5%
     cat = Catalog(spark, tempfile.mkdtemp(prefix="bench_wh_") + "/wh")
+    buckets = max(4, min(64, n_rows // 500_000))
     t0 = time.perf_counter()
-    ingest_pages(cat, pages, n_buckets=max(CPUS, 16))
+    ingest_pages(cat, pages, n_buckets=buckets)
     res = run_rollup_pipeline(spark, cat)
     rollup_dt = time.perf_counter() - t0
     stats = codec.compression_report(cat.read("blocks_30m")).collect()[0]

@@ -128,7 +128,12 @@ def run_rollup_pipeline(
     policy: RetentionPolicy | None = None,
     now: datetime.datetime | None = None,
     encode_blocks: bool = True,
+    block_size: str = "7 days",
 ) -> PipelineResult:
+    """``block_size``: Gorilla block span. Weekly blocks (336 half-hour
+    points) amortize per-block overhead and compress better than daily
+    (48-point) blocks; choose by tier resolution x target points/block.
+    """
     res = PipelineResult()
 
     def _stage(
@@ -139,6 +144,7 @@ def run_rollup_pipeline(
         partition_by: list[str] | None,
         sort_within: list[str],
         to_months: bool = False,
+        expand_days=None,  # changed day-list -> enclosing recompute span
     ) -> None:
         in_state = partition_state(cat, in_table, in_col)
         changed = _changed_partitions(cat, name, in_state)
@@ -155,7 +161,8 @@ def run_rollup_pipeline(
                     F.date_format(F.col(in_col), "yyyy-MM").isin(months)
                 )
             else:
-                src = src.where(F.col(in_col).isin(changed))
+                days = expand_days(changed) if expand_days else changed
+                src = src.where(F.col(in_col).isin(days))
         out = build(src)
         snap = cat.write(
             out,
@@ -218,15 +225,32 @@ def run_rollup_pipeline(
 
     # -- Gorilla blocks over the 30m tier --------------------------------
     if encode_blocks:
+        block_days = max(1, int(block_size.split()[0]) if "day" in block_size else 1)
+
+        def _expand_to_blocks(changed: list[str]) -> list[str]:
+            """A changed day must re-encode its WHOLE block: expand each
+            day to every day of its epoch-aligned block span (Spark
+            tumbling windows align to 1970-01-01)."""
+            epoch = datetime.date(1970, 1, 1)
+            out: set[str] = set()
+            for dstr in changed:
+                d = datetime.date.fromisoformat(dstr)
+                start = d - datetime.timedelta(days=(d - epoch).days % block_days)
+                out.update(
+                    str(start + datetime.timedelta(days=i)) for i in range(block_days)
+                )
+            return sorted(out)
+
         _stage(
             "blocks_30m",
             "agg_30m",
             "day_bucket",
             lambda src: codec.encode_blocks(
-                src, "series", "bucket_ts", "avg_value", block="1 day"
+                src, "series", "bucket_ts", "avg_value", block=block_size
             ).withColumn("day_bucket", F.to_date("block_start")),
             partition_by=["day_bucket"],
             sort_within=["series"],
+            expand_days=_expand_to_blocks,
         )
         if "blocks_30m" in res.stages_run:
             ratio = (

@@ -76,6 +76,9 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # direct task commit (v2): halves rename traffic on partitioned
+        # writes; matters for many-partition tables on any FS
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     if extra_conf:
         for k, v in extra_conf.items():

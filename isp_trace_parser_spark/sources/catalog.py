@@ -88,7 +88,12 @@ class Catalog:
                 # partition, no small-files explosion at scale
                 writer_df = writer_df.repartition(*[F.col(c) for c in partition_by])
             if sort_within:
-                writer_df = writer_df.sortWithinPartitions(*sort_within)
+                # partition cols MUST prefix the sort: FileFormatWriter
+                # otherwise injects its own sort by partition cols and
+                # destroys the requested within-file order
+                writer_df = writer_df.sortWithinPartitions(
+                    *partition_by, *sort_within
+                )
         elif sort_within:
             writer_df = writer_df.sortWithinPartitions(*sort_within)
 

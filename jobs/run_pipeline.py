@@ -45,6 +45,8 @@ def main() -> None:
                     help="resume: reuse the already-ingested pages table")
     ap.add_argument("--retention-days", type=int, default=0,
                     help="raw retention horizon; 0 disables the retention pass")
+    ap.add_argument("--buckets", type=int, default=0,
+                    help="url-hash bucket count; 0 = auto (~1 per 500k rows)")
     args = ap.parse_args()
 
     from isp_trace_parser_spark import synth
@@ -57,6 +59,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cat = Catalog(spark, args.warehouse)
 
+    n_rows = args.synth_urls * args.synth_slots
+    # partition sizing: target ~500k rows per (day x bucket) leaf at toy
+    # scale; at 100 TB this knob is set for ~0.5-1 GB leaves instead
+    buckets = args.buckets or max(4, min(64, n_rows // 500_000))
+
     t0 = time.perf_counter()
     if not args.skip_ingest:
         pages = synth.pages(
@@ -66,7 +73,7 @@ def main() -> None:
             gap_pct=args.gap_pct,
             skew=args.skew,
         )
-        ingest_pages(cat, pages)
+        ingest_pages(cat, pages, n_buckets=buckets)
     ingest_dt = time.perf_counter() - t0
 
     policy = now = None
@@ -79,7 +86,6 @@ def main() -> None:
     res = run_rollup_pipeline(spark, cat, policy=policy, now=now)
     rollup_dt = time.perf_counter() - t1
 
-    n_rows = args.synth_urls * args.synth_slots
     print(
         json.dumps(
             {

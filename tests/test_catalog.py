@@ -1,0 +1,66 @@
+"""Catalog shim invariants."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from isp_trace_parser_spark.sources.catalog import Catalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def _df(spark, n=1000):
+    pdf = pd.DataFrame(
+        {
+            "k": [f"p{i % 3}" for i in range(n)],
+            "ts": pd.date_range("2024-01-01", periods=n, freq="7min"),
+            "v": range(n),
+        }
+    )
+    return spark.createDataFrame(pdf.sample(frac=1.0, random_state=7))
+
+
+def test_sort_within_partition_files(spark, cat):
+    # regression: FileFormatWriter injects a sort by partition cols when
+    # they don't prefix the requested ordering, scrambling the files
+    cat.write(_df(spark), "t", partition_by=["k"], sort_within=["ts"])
+    pdir = os.path.join(cat.table_path("t"), "k=p0")
+    files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    for f in files:
+        part = pd.read_parquet(os.path.join(pdir, f))
+        assert part["ts"].is_monotonic_increasing
+
+
+def test_dynamic_overwrite_preserves_other_partitions(spark, cat):
+    cat.write(_df(spark), "t", partition_by=["k"])
+    before = cat.read("t").where("k = 'p1'").count()
+    only_p0 = _df(spark).where("k = 'p0'")
+    cat.write(only_p0, "t", partition_by=["k"], mode="dynamic")
+    assert cat.read("t").where("k = 'p1'").count() == before
+
+
+def test_snapshot_log_and_sigs(spark, cat):
+    cat.write(_df(spark), "t", partition_by=["k"])
+    s1 = cat.last_snapshot("t")
+    assert set(s1["partitions"]) == {"k=p0", "k=p1", "k=p2"}
+    sigs1 = {k: v["sig"] for k, v in s1["partitions"].items()}
+    # rewrite only p0 -> only p0's fingerprint changes
+    cat.write(_df(spark).where("k = 'p0'"), "t", partition_by=["k"], mode="dynamic")
+    sigs2 = {k: v["sig"] for k, v in cat.last_snapshot("t")["partitions"].items()}
+    assert sigs1["k=p1"] == sigs2["k=p1"]
+    assert sigs1["k=p2"] == sigs2["k=p2"]
+    assert sigs1["k=p0"] != sigs2["k=p0"]
+
+
+def test_expire_partitions(spark, cat):
+    cat.write(_df(spark), "t", partition_by=["k"])
+    cat.expire_partitions("t", "k", ["p0"])
+    assert cat.list_partitions("t", "k") == ["p1", "p2"]
+    ops = [s["operation"] for s in cat.snapshots("t")]
+    assert ops[-1] == "expire"
