@@ -88,7 +88,8 @@ def main() -> None:
     ).select("url", "warc_ts", "value")
     n_rows = n_urls * n_slots  # upper bound; gaps remove ~5%
     cat = Catalog(spark, tempfile.mkdtemp(prefix="bench_wh_") + "/wh")
-    buckets = max(4, min(64, n_rows // 500_000))
+    n_days = max(1, n_slots // 48)
+    buckets = max(1, min(64, (n_rows // n_days) // 250_000))
     t0 = time.perf_counter()
     ingest_pages(cat, pages, n_buckets=buckets)
     res = run_rollup_pipeline(spark, cat)

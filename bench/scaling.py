@@ -67,13 +67,17 @@ def main() -> None:
         print(f"# local[{cores}]: {results[cores]}", file=sys.stderr)
 
     n, n4 = LEVELS
-    speedup = results[n]["total_sec"] / results[n4]["total_sec"]
-    eff = speedup / (n4 / n)
+    speedup_total = results[n]["total_sec"] / results[n4]["total_sec"]
+    speedup_rollup = results[n]["rollup_sec"] / results[n4]["rollup_sec"]
+    eff_total = speedup_total / (n4 / n)
+    eff_rollup = speedup_rollup / (n4 / n)
     summary = {
         "rows": rows,
         "levels": results,
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(eff, 3),
+        "rollup_speedup": round(speedup_rollup, 3),
+        "rollup_scaling_efficiency": round(eff_rollup, 3),
+        "total_speedup": round(speedup_total, 3),
+        "total_scaling_efficiency": round(eff_total, 3),
         "target": 0.8,
     }
     print(json.dumps(summary))
@@ -85,17 +89,22 @@ def main() -> None:
             f"({N_URLS} series x {N_SLOTS} half-hour slots = {rows:,} rows,\n"
             "5% gaps), identical plan (128 shuffle partitions), two\n"
             "parallelism levels — the in-sandbox stand-in for N vs 4N\n"
-            "executors per the driver instruction.\n\n"
-            "| level | total sec | rollup sec | rows/sec | Gorilla ratio |\n"
+            "executors per the driver instruction. `rollup sec` is the\n"
+            "north-metric phase (3-tier cascade + Gorilla encode over the\n"
+            "landed table); `total` additionally includes the one-off\n"
+            "synthesis + ingest write of the raw table.\n\n"
+            "| level | total sec | rollup sec | rollup rows/sec | Gorilla ratio |\n"
             "|---|---|---|---|---|\n"
             + "\n".join(
                 f"| local[{c}] | {r['total_sec']} | {r['rollup_sec']} | "
-                f"{r['rows_per_sec']:,} | {r['compression_ratio']} |"
+                f"{round(rows / r['rollup_sec']):,} | {round(r['compression_ratio'], 4)} |"
                 for c, r in results.items()
             )
-            + f"\n\nSpeedup local[{n}] -> local[{n4}]: **{speedup:.2f}x** "
-            f"(ideal {n4 // n}x)\n"
-            f"Scaling efficiency: **{eff:.3f}** (target >= 0.8)\n"
+            + f"\n\nRollup-phase speedup local[{n}] -> local[{n4}]: "
+            f"**{speedup_rollup:.2f}x** (ideal {n4 // n}x) -> scaling "
+            f"efficiency **{eff_rollup:.3f}** (target >= 0.8)\n"
+            f"Whole-job speedup: {speedup_total:.2f}x -> efficiency "
+            f"{eff_total:.3f}\n"
         )
 
 

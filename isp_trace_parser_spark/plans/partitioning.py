@@ -70,17 +70,25 @@ def salted(
 
 
 def two_phase_avg(
-    df: DataFrame, keys: list[str], value_col: str, n_salts: int = 8
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salts: int = 8,
+    sum_cast: str | None = "decimal(20,4)",
 ) -> DataFrame:
     """Skew-proof mean: salted partial sums/counts, then exact final
-    combine. Semantically identical to groupBy(keys).avg(value)."""
+    combine. Semantically identical to groupBy(keys).avg(value).
+
+    ``sum_cast`` (see rollup.DEC): exact decimal partials make the result
+    independent of salt count and partitioning — only valid when values
+    have <= the cast's fractional digits; pass None for raw doubles.
+    """
+    c = F.col(value_col)
     partial = (
         salted(df, keys[0], n_salts)
         .groupBy(*keys, "salt")
         .agg(
-            # exact decimal partials: result independent of salt count
-            # and partitioning (see rollup.DEC rationale)
-            F.sum(F.col(value_col).cast("decimal(20,4)")).alias("_s"),
+            F.sum(c.cast(sum_cast) if sum_cast else c).alias("_s"),
             F.count(value_col).alias("_c"),
         )
     )

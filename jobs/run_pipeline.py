@@ -60,9 +60,11 @@ def main() -> None:
     cat = Catalog(spark, args.warehouse)
 
     n_rows = args.synth_urls * args.synth_slots
-    # partition sizing: target ~500k rows per (day x bucket) leaf at toy
-    # scale; at 100 TB this knob is set for ~0.5-1 GB leaves instead
-    buckets = args.buckets or max(4, min(64, n_rows // 500_000))
+    # partition sizing: leaves are (day x bucket), so bucket count must
+    # divide the PER-DAY row count, not the total — targeting ~250k rows
+    # per leaf at toy scale (~0.5-1 GB per leaf at 100 TB)
+    n_days = max(1, args.synth_slots // 48)
+    buckets = args.buckets or max(1, min(64, (n_rows // n_days) // 250_000))
 
     t0 = time.perf_counter()
     if not args.skip_ingest:
