@@ -354,7 +354,9 @@ def q_codec_roundtrip(spark, sf_dir):
     ).agg(
         (F.sum(F.col("value").cast("decimal(20,4)")).cast("double") / F.count("value")).alias("avg_value")
     )
-    blocks = codec.encode_blocks(t30, "series", "bucket_ts", "avg_value", block="1 day")
+    # 30-day blocks: events are sparse per (user, day), so daily blocks
+    # would be 1-2 points each — block span must match point density
+    blocks = codec.encode_blocks(t30, "series", "bucket_ts", "avg_value", block="30 days")
     out = codec.decode_blocks(blocks)
     return out.select(
         "series", F.col("ts").alias("bucket_ts"), _q("value", 4).alias("value")
@@ -384,7 +386,7 @@ def q_minhash_lsh(spark, sf_dir):
     from isp_trace_parser_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.5)
+    out = minhash_lsh_pairs(docs, num_perm=128, bands=16, threshold=0.7)
     return out.select("d1", "d2", _q("est_jaccard", 4).alias("est_jaccard"))
 
 

@@ -92,16 +92,19 @@ def main() -> None:
     buckets = max(1, min(64, (n_rows // n_days) // 250_000))
     t0 = time.perf_counter()
     ingest_pages(cat, pages, n_buckets=buckets)
+    ingest_dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
     res = run_rollup_pipeline(spark, cat)
-    rollup_dt = time.perf_counter() - t0
+    rollup_dt = time.perf_counter() - t1
     stats = codec.compression_report(cat.read("blocks_30m")).collect()[0]
     points = int(stats["points"])
     ratio = float(stats["ratio"])
+    results["ingest_pages"] = round(ingest_dt, 3)
     results["rollup_pipeline"] = round(rollup_dt, 3)
-    total += rollup_dt
+    total += ingest_dt + rollup_dt
     print(
-        f"# rollup_pipeline: {rollup_dt:.3f}s points={points} "
-        f"(of {n_rows} synth rows) ratio={ratio:.3f}",
+        f"# ingest {ingest_dt:.3f}s + rollup_pipeline {rollup_dt:.3f}s "
+        f"points={points} (of {n_rows} synth rows) ratio={ratio:.3f}",
         file=sys.stderr,
     )
 

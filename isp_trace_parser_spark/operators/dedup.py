@@ -129,25 +129,31 @@ def minhash_signatures(
     Arrow batch; the (num_perm x shingles) min reduction is one matrix
     op. Universal hashing h_i(x) = (a_i * x + b_i) mod p, p = 2^61 - 1.
     """
+    if not 1 <= shingle_n <= 8:
+        raise ValueError("shingle_n must be 1..8 (byte-packed shingles)")
     a, b, p = _minhash_params(num_perm, seed)
 
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            t = t or ""
-            if len(t) < shingle_n:
-                shingles = {t}
+            raw = (t or "").encode()
+            bs = np.frombuffer(raw, dtype=np.uint8)
+            if len(bs) < shingle_n:
+                hs = np.zeros(1, dtype=np.uint64)
+                for x in bs:
+                    hs = (hs << np.uint64(8)) | np.uint64(x)
             else:
-                shingles = {t[i : i + shingle_n] for i in range(len(t) - shingle_n + 1)}
-            # stable 64-bit shingle hashes (FNV-1a over bytes, numpy-free
-            # per shingle but set-sized, not doc-sized)
-            hs = np.fromiter(
-                (_fnv1a(s) for s in shingles), dtype=np.uint64, count=len(shingles)
-            )
-            # (num_perm, n_shingles) universal hash, min over shingles
-            vals = (
-                np.multiply.outer(a, hs, dtype=np.uint64) + b[:, None]
-            ) % np.uint64(p)
+                # byte-packed shingles: n consecutive utf-8 bytes in one
+                # uint64 — an exact (collision-free) shingle id, fully
+                # vectorized (no per-shingle Python)
+                m = len(bs) - shingle_n + 1
+                hs = np.zeros(m, dtype=np.uint64)
+                for k in range(shingle_n):
+                    hs = (hs << np.uint64(8)) | bs[k : k + m].astype(np.uint64)
+                hs = np.unique(hs)
+            # (num_perm, n_shingles) universal-ish hash (mod-2^64 wrap
+            # then mod p), min over shingles
+            vals = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(p)
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
@@ -155,33 +161,30 @@ def minhash_signatures(
     return df.select("doc_id", sig_udf(F.col(text_col)).alias("signature"))
 
 
-def _fnv1a(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode():
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
-    num_perm: int = 64,
+    num_perm: int = 128,
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
 ) -> DataFrame:
     """Candidate pairs via banding + estimated Jaccard from signature
-    agreement. rows-per-band = num_perm / bands; the (bands, rows) choice
-    sets the S-curve. Only same-bucket pairs are joined — the whole point
-    at 10^12 docs.
+    agreement. rows-per-band r = num_perm / bands sets the S-curve
+    midpoint ~ (1/bands)^(1/r); the default (b=16, r=8) centers near
+    0.7 — the near-dup operating point. Only same-bucket pairs are
+    joined — the whole point at 10^12 docs.
+
+    Shuffle hygiene: the band self-join carries ONLY (doc_id, band,
+    bucket); full signatures are re-attached to the deduplicated pair
+    list afterwards (two slim joins beat dragging 2 x num_perm longs
+    through the candidate shuffle when buckets collide heavily).
     """
     rows = num_perm // bands
     sigs = minhash_signatures(df, text_col, num_perm, shingle_n, seed).cache()
     banded = sigs.select(
         "doc_id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -195,29 +198,30 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.signature").alias("s1"),
-            F.col("b.signature").alias("s2"),
-        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
-    est = cands.withColumn(
-        "est_jaccard",
-        F.aggregate(
-            F.zip_with("s1", "s2", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
+    s1 = sigs.selectExpr("doc_id as d1", "signature as s1")
+    s2 = sigs.selectExpr("doc_id as d2", "signature as s2")
+    est = (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("s1", "s2", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(num_perm),
         )
-        / F.lit(num_perm),
     )
     return est.where(F.col("est_jaccard") >= threshold).select(
         "d1", "d2", "est_jaccard"
