@@ -1,0 +1,69 @@
+"""Driver-environment robustness: entry()/queries() must work on a
+SparkSession the DRIVER built — default confs, no engine session
+factory, possibly a non-UTC timezone — because _prep() is the only hook
+the contract gives us.
+
+Runs in a subprocess so the session-scoped test SparkSession (with our
+confs) can't leak in.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+# a deliberately hostile driver session: non-UTC tz, default timestampType
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("driver-sim")
+    .config("spark.sql.session.timeZone", "America/New_York")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as em
+import duckdb
+
+assert em.entry(spark).count() > 0
+
+con = duckdb.connect()
+for t in ["events", "documents", "embeddings", "lineitem"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+    )
+
+oracles = em.oracle_sql()
+queries = em.queries()
+for name in ["rollup_30m", "rollup_1mo", "window_fy", "gapfill_30m",
+             "gorilla_codec_roundtrip", "lag_delta", "text_stats"]:
+    got = queries[name](spark, "/root/testdata/sf0.01").toPandas()
+    want = con.execute(oracles[name]).df()
+    assert len(got) == len(want), (name, len(got), len(want))
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    w = want[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        gv, wv = g[c], w[c]
+        if gv.dtype.kind == "f":
+            import numpy as np
+            nan = gv.isna() & wv.isna()
+            assert (nan | (gv == wv)).all(), (name, c)
+        else:
+            assert gv.astype(str).tolist() == wv.astype(str).tolist(), (name, c)
+print("DRIVER-SIM-OK")
+spark.stop()
+"""
+
+
+def test_entry_contract_under_default_driver_session():
+    out = subprocess.run(
+        [sys.executable, "-c", SCRIPT], capture_output=True, text=True, timeout=900
+    )
+    assert "DRIVER-SIM-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-3000:]
