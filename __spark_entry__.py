@@ -463,6 +463,14 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_quality_score(spark, sf_dir):
+    _prep(spark)
+    from isp_trace_parser_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", _q(quality_score(F.col("text")), 4).alias("quality"))
+
+
 def q_lang_id(spark, sf_dir):
     _prep(spark)
     from isp_trace_parser_spark.functions.extract import language_id
@@ -539,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "frame_sample_plan": q_frame_sample_plan,
@@ -715,6 +724,33 @@ def oracle_sql() -> dict[str, str]:
                              x -> list_contains(['the','and','of','to','a','in','is','it','that','for','on','was','with','as','at','by','an','be','this','are'], x))) * 1.0
                          / nullif(len(regexp_split_to_array(lower(text), '\s+')), 0), 4) AS stopword_ratio
             FROM documents""",
+        "quality_score": r"""
+            WITH s AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                coalesce((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+                         / nullif(length(text), 0), 0.0) AS praw,
+                regexp_split_to_array(lower(text), '\s+') AS lw,
+                list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), s2 AS (
+              SELECT doc_id,
+                least(n_tok / 100.0, 1.0) AS len_score,
+                greatest(0.0, 1.0 - praw * 4.0) AS punct_pen,
+                least(coalesce(len(list_filter(lw, x -> list_contains(
+                    ['the','and','of','to','a','in','is','it','that','for','on','was','with','as','at','by','an','be','this','are'], x))) * 1.0
+                    / nullif(len(lw), 0), 0.0) * 4.0, 1.0) AS stop_score,
+                CASE WHEN len(words) > 0
+                     THEN list_sum(list_transform(words, x -> length(x))) * 1.0 / len(words)
+                     ELSE 0.0 END AS mwl
+              FROM s
+            )
+            SELECT doc_id,
+                   round(len_score * 0.3 + punct_pen * 0.2 + stop_score * 0.3 +
+                         (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4)
+                   AS quality
+            FROM s2""",
         "lang_id": rf"""
             WITH prep AS (SELECT doc_id,
                                  ' ' || lower(regexp_replace(text, '[^\w\s]', ' ', 'g')) || ' ' AS t

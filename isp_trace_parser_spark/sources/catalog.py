@@ -208,6 +208,38 @@ class Catalog:
             lineage={"partition_col": partition_col, "dropped": dropped},
         )
 
+    def compact(
+        self,
+        name: str,
+        partition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+        target_rows_per_file: int = 2_000_000,
+    ) -> dict[str, Any]:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
+        rewrite the table with row-count-targeted file sizing. Streaming
+        appends and incremental dynamic overwrites accrete small files;
+        compaction restores scan efficiency without changing data."""
+        df = self.read(name)
+        n = df.count()
+        n_files = max(1, n // target_rows_per_file)
+        rewritten = df.repartition(n_files) if not partition_by else df
+        tmp = f"{name}__compacting"
+        self.write(
+            rewritten,
+            tmp,
+            partition_by=partition_by,
+            sort_within=sort_within,
+            mode="overwrite",
+            lineage={"stage": "compact", "source": name, "rows": n},
+        )
+        # swap directories; snapshot log of the new table carries lineage
+        final = self.table_path(name)
+        shutil.rmtree(final)
+        os.rename(self.table_path(tmp), final)
+        return self.commit_snapshot(
+            name, operation="compact", partition_by=partition_by or []
+        )
+
     def drop_table(self, name: str) -> None:
         path = self.table_path(name)
         if os.path.exists(path):

@@ -58,6 +58,23 @@ def test_snapshot_log_and_sigs(spark, cat):
     assert sigs1["k=p0"] != sigs2["k=p0"]
 
 
+def test_compact_small_files(spark, cat):
+    import glob
+
+    # accrete small files via repeated appends
+    for _ in range(4):
+        cat.write(_df(spark, 400), "t", mode="append", repartition=False)
+    files_before = glob.glob(os.path.join(cat.table_path("t"), "*.parquet"))
+    rows_before = cat.read("t").count()
+    assert len(files_before) > 8
+
+    cat.compact("t", target_rows_per_file=10_000)
+    files_after = glob.glob(os.path.join(cat.table_path("t"), "*.parquet"))
+    assert len(files_after) < len(files_before)
+    assert cat.read("t").count() == rows_before
+    assert cat.last_snapshot("t")["operation"] == "compact"
+
+
 def test_expire_partitions(spark, cat):
     cat.write(_df(spark), "t", partition_by=["k"])
     cat.expire_partitions("t", "k", ["p0"])
