@@ -364,6 +364,27 @@ def q_codec_roundtrip(spark, sf_dir):
 
 
 # ----------------------------------------------------------------- dedup
+def q_asof_join(spark, sf_dir):
+    # most recent purchase at-or-before each view, per user — composed
+    # union+window as-of join (operators/asof.py); oracle is DuckDB's
+    # native ASOF LEFT JOIN
+    _prep(spark)
+    from isp_trace_parser_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("series"), "ts", F.col("value").alias("lv")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("series"), "ts", F.col("value").alias("pv")
+    )
+    out = asof_join(views, purchases, on="series", right_values=["pv"])
+    return out.select(
+        "series", "ts", _q("lv", 4).alias("lv"),
+        F.col("ts_right"), _q("pv_right", 4).alias("pv_right"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     _prep(spark)
     from isp_trace_parser_spark.operators.dedup import exact_dedup
@@ -538,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_delta": q_lag_delta,
         "gapfill_30m": q_gapfill_30m,
         "gorilla_codec_roundtrip": q_codec_roundtrip,
+        "asof_join_views_purchases": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -690,6 +712,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts,
                    round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value), 4) AS value
             FROM events GROUP BY 1, 2""",
+        "asof_join_views_purchases": """
+            SELECT v.user_id AS series, v.ts, round(v.value, 4) AS lv,
+                   p.ts AS ts_right, round(p.value, 4) AS pv_right
+            FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+              ON v.user_id = p.user_id AND v.ts >= p.ts""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY text""",

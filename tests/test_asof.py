@@ -1,0 +1,110 @@
+"""As-of join vs a pandas merge_asof oracle (+ DuckDB ASOF JOIN parity
+lives in the contract query)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from isp_trace_parser_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "series": np.repeat(["a", "b"], 50),
+            "ts": np.concatenate(
+                [
+                    pd.date_range("2024-01-01", periods=50, freq="37min").to_numpy(),
+                    pd.date_range("2024-01-01", periods=50, freq="53min").to_numpy(),
+                ]
+            ),
+            "lv": rng.random(100),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "series": np.repeat(["a", "b"], 20),
+            "ts": np.concatenate(
+                [
+                    pd.date_range("2024-01-01 00:15", periods=20, freq="97min").to_numpy(),
+                    pd.date_range("2024-01-01 00:04", periods=20, freq="111min").to_numpy(),
+                ]
+            ),
+            "price": rng.random(20 * 2) * 100,
+        }
+    )
+    return left, right
+
+
+def _oracle(left, right, tolerance=None):
+    kw = {"by": "series", "on": "ts", "direction": "backward"}
+    if tolerance is not None:
+        kw["tolerance"] = pd.Timedelta(seconds=tolerance)
+    return pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(columns={"price": "price_right"}),
+        **kw,
+    )
+
+
+def test_asof_matches_pandas(spark, frames):
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            right_values=["price"],
+        )
+        .toPandas()
+        .sort_values(["series", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(left, right)
+        .sort_values(["series", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(left)
+    nan = got["price_right"].isna() & want["price_right"].isna()
+    assert (nan | (got["price_right"] == want["price_right"])).all()
+
+
+def test_asof_exact_timestamp_inclusive(spark):
+    left = pd.DataFrame(
+        {"series": ["a"], "ts": [pd.Timestamp("2024-01-01 10:00")], "lv": [1.0]}
+    )
+    right = pd.DataFrame(
+        {"series": ["a"], "ts": [pd.Timestamp("2024-01-01 10:00")], "price": [5.0]}
+    )
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        right_values=["price"],
+    ).toPandas()
+    assert got.iloc[0]["price_right"] == 5.0  # <= semantics
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            right_values=["price"],
+            tolerance_seconds=1800,
+        )
+        .toPandas()
+        .sort_values(["series", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(left, right, tolerance=1800)
+        .sort_values(["series", "ts"])
+        .reset_index(drop=True)
+    )
+    nan = got["price_right"].isna() & want["price_right"].isna()
+    assert (nan | (got["price_right"] == want["price_right"])).all()
+    assert got["price_right"].isna().sum() > 0  # tolerance actually bites

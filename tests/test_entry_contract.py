@@ -69,9 +69,10 @@ def test_query_matches_oracle(spark, con, name):
         elif np.issubdtype(gv.dtype, np.datetime64) or np.issubdtype(
             wv.dtype, np.datetime64
         ):
-            assert (
-                pd.to_datetime(gv).to_numpy() == pd.to_datetime(wv).to_numpy()
-            ).all(), f"{name}.{c}: ts mismatch"
+            ga = pd.to_datetime(gv).to_numpy()
+            wa = pd.to_datetime(wv).to_numpy()
+            both_nat = pd.isna(ga) & pd.isna(wa)
+            assert (both_nat | (ga == wa)).all(), f"{name}.{c}: ts mismatch"
         else:
             assert gv.astype(str).tolist() == wv.astype(str).tolist(), (
                 f"{name}.{c}: value mismatch"
