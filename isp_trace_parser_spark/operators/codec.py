@@ -314,20 +314,22 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
 
     def _decode(batches):
         for pdf in batches:
-            frames = []
+            ts_parts, val_parts, sid_parts = [], [], []
             for series, blob in zip(pdf["series"], pdf["data"]):
                 ts_us, vals = decode_block(bytes(blob))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "series": series,
-                            "ts": ts_us.astype("datetime64[us]"),
-                            "value": vals,
-                        }
-                    )
+                ts_parts.append(ts_us)
+                val_parts.append(vals)
+                sid_parts.append(np.repeat(series, len(ts_us)))
+            if ts_parts:
+                # one frame per Arrow batch (not per block): the pandas
+                # constructor dominates decode cost otherwise
+                yield pd.DataFrame(
+                    {
+                        "series": np.concatenate(sid_parts),
+                        "ts": np.concatenate(ts_parts).astype("datetime64[us]"),
+                        "value": np.concatenate(val_parts),
+                    }
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
 
     return blocks.mapInPandas(_decode, POINT_SCHEMA)
 
