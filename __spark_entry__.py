@@ -323,6 +323,29 @@ def q_lag_delta(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    # session windows: a >30min silence starts a new session (lag +
+    # cumulative sum — the standard JVM-side sessionization)
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp_ltz")
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        _q(F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 2).alias("sum_value"),
+    )
+
+
 def q_gapfill_30m(spark, sf_dir):
     # densify + forward-fill (north_rule gap-fill)
     _prep(spark)
@@ -557,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_display_map": q_event_type_display,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "lag_delta": q_lag_delta,
+        "sessionize": q_sessionize,
         "gapfill_30m": q_gapfill_30m,
         "gorilla_codec_roundtrip": q_codec_roundtrip,
         "asof_join_views_purchases": q_asof_join,
@@ -694,6 +718,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
             FROM events""",
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_value
+            FROM s GROUP BY 1, 2""",
         "gapfill_30m": f"""
             WITH b AS (SELECT user_id AS series, {b30} AS bucket_ts,
                               CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value) AS v
