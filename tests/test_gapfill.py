@@ -66,3 +66,42 @@ def test_leading_gap_null_vs_zero(spark):
     ]
     assert filled_zone["is_filled"].all()
     assert (filled_zone["avg_value"] == s0.iloc[0]["avg_value"]).all()
+
+
+def test_fill_leading_zero_option(spark):
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    # series with a NULL-leading region: first observation at 02:00
+    pdf = pd.DataFrame(
+        {
+            "series": ["s"] * 2,
+            "bucket_ts": pd.to_datetime(["2024-01-01 02:00:00", "2024-01-01 04:00:00"]),
+            "value": [5.0, 7.0],
+        }
+    )
+    base = spark.createDataFrame(pdf).withColumn(
+        "bucket_ts", F.col("bucket_ts").cast("timestamp_ntz")
+    )
+    # densify over an explicit wider spine by unioning a NULL-valued
+    # anchor row at 01:00, exercising the leading-gap branch
+    anchor = spark.createDataFrame(
+        pd.DataFrame(
+            {"series": ["s"], "bucket_ts": pd.to_datetime(["2024-01-01 01:00:00"]),
+             "value": [None]}
+        )
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp_ntz")).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    both = base.unionByName(anchor)
+
+    nulls = gap_fill(both, value_cols=["value"]).toPandas().sort_values("bucket_ts")
+    assert pd.isna(nulls.iloc[0]["value"])  # leading gap stays NULL
+
+    zeros = (
+        gap_fill(both, value_cols=["value"], fill_leading_zero=True)
+        .toPandas()
+        .sort_values("bucket_ts")
+    )
+    assert zeros.iloc[0]["value"] == 0.0
+    assert zeros.iloc[-1]["value"] == 7.0
