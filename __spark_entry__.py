@@ -309,6 +309,31 @@ def q_tpch_q1(spark, sf_dir):
 
 
 # -------------------------------------------------------------- windows
+def q_percentiles(spark, sf_dir):
+    # exact interpolated percentiles (Spark percentile == DuckDB
+    # quantile_cont, both type-R7 interpolation)
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _q(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        _q(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_rollup_grouping_sets(spark, sf_dir):
+    # ROLLUP grouping sets over lineitem (subtotals + grand total)
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _q(F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q_lag_delta(spark, sf_dir):
     # §2.6: lag window (delta encoding preview)
     _prep(spark)
@@ -579,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_semi_join": q_part_semi_join,
         "event_type_display_map": q_event_type_display,
         "tpch_q1_pricing_summary": q_tpch_q1,
+        "percentiles_by_type": q_percentiles,
+        "rollup_grouping_sets": q_rollup_grouping_sets,
         "lag_delta": q_lag_delta,
         "sessionize": q_sessionize,
         "gapfill_30m": q_gapfill_30m,
@@ -714,6 +741,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY 1, 2""",
+        "percentiles_by_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
+        "rollup_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "lag_delta": """
             SELECT user_id, event_id,
                    round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
