@@ -72,7 +72,10 @@ def get_spark(
         # isAdjustedToUTC=false columns
         .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

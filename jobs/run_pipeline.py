@@ -47,6 +47,10 @@ def main() -> None:
                     help="raw retention horizon; 0 disables the retention pass")
     ap.add_argument("--buckets", type=int, default=0,
                     help="url-hash bucket count; 0 = auto (~1 per 500k rows)")
+    ap.add_argument("--columns", choices=["full", "trace"], default="full",
+                    help="'trace' ingests only (url, warc_ts, value) — the "
+                    "rollup engine's input plane; 'full' includes the "
+                    "synthetic html/text payload columns")
     args = ap.parse_args()
 
     from isp_trace_parser_spark import synth
@@ -75,6 +79,8 @@ def main() -> None:
             gap_pct=args.gap_pct,
             skew=args.skew,
         )
+        if args.columns == "trace":
+            pages = pages.select("url", "warc_ts", "value")
         ingest_pages(cat, pages, n_buckets=buckets)
     ingest_dt = time.perf_counter() - t0
 
