@@ -99,26 +99,36 @@ def main() -> None:
     rows = N_URLS * N_SLOTS
     krows = K_URLS * K_SLOTS
 
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+
+    # interleaved repeats + min-of-runs per level: this sandbox is a
+    # shared VM where identical runs vary up to ~3x (see BENCH.md §2);
+    # the min approximates the uncontended time at each level
     pipeline = {}
-    for cores in LEVELS:
-        r = run_pipeline_level(cores)
-        pipeline[cores] = {
-            "ingest_sec": r["ingest_sec"],
-            "rollup_sec": r["rollup_sec"],
-            "total_sec": round(r["ingest_sec"] + r["rollup_sec"], 2),
-            "compression_ratio": r["metrics"].get("blocks_30m", {}).get(
-                "compression_ratio"
-            ),
-        }
-        print(f"# pipeline local[{cores}]: {pipeline[cores]}", file=sys.stderr)
+    for rep in range(repeats):
+        for cores in LEVELS:
+            r = run_pipeline_level(cores)
+            cur = {
+                "ingest_sec": r["ingest_sec"],
+                "rollup_sec": r["rollup_sec"],
+                "total_sec": round(r["ingest_sec"] + r["rollup_sec"], 2),
+                "compression_ratio": r["metrics"].get("blocks_30m", {}).get(
+                    "compression_ratio"
+                ),
+            }
+            if cores not in pipeline or cur["total_sec"] < pipeline[cores]["total_sec"]:
+                pipeline[cores] = cur
+            print(f"# pipeline local[{cores}] rep{rep}: {cur}", file=sys.stderr)
 
     kernel = {}
     shm = "/dev/shm/spark-scaling" if os.path.isdir("/dev/shm") else tempfile.mkdtemp()
     os.makedirs(shm, exist_ok=True)
     try:
-        for cores in LEVELS:
-            kernel[cores] = run_kernel_level(cores, shm)
-            print(f"# kernel local[{cores}]: {kernel[cores]}s", file=sys.stderr)
+        for rep in range(repeats):
+            for cores in LEVELS:
+                t = run_kernel_level(cores, shm)
+                kernel[cores] = min(kernel.get(cores, t), t)
+                print(f"# kernel local[{cores}] rep{rep}: {t}s", file=sys.stderr)
     finally:
         import shutil
 
@@ -144,45 +154,19 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+    import datetime
+
+    with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
         fh.write(
-            "# BENCH — scaling-efficiency evidence (N=4 vs 4N=16 cores)\n\n"
-            "Identical input, identical plan, one fresh JVM per level —\n"
-            "the in-sandbox stand-in for N vs 4N executors.\n\n"
-            "## Kernel (north-metric compute: 3-tier cascade + Gorilla "
-            "encode, noop sink)\n\n"
-            f"{K_URLS} series x {K_SLOTS} slots = {krows:,} rows, "
-            "RAM-backed scratch.\n\n"
-            "| level | sec | rows/sec |\n|---|---|---|\n"
-            + "\n".join(
-                f"| local[{c}] | {kernel[c]} | {round(krows / kernel[c]):,} |"
-                for c in LEVELS
-            )
-            + f"\n\nSpeedup {n}->{n4} cores: **{k_speed:.2f}x** (ideal 4x) -> "
-            f"scaling efficiency **{k_eff:.3f}** (target >= 0.8)\n\n"
-            "## Full pipeline (ingest + tiers + codec + partitioned "
-            "parquet writes + snapshot commits)\n\n"
-            f"{N_URLS} series x {N_SLOTS} slots = {rows:,} rows.\n\n"
-            "| level | ingest sec | rollup sec | total sec |\n|---|---|---|---|\n"
-            + "\n".join(
-                f"| local[{c}] | {pipeline[c]['ingest_sec']} | "
-                f"{pipeline[c]['rollup_sec']} | {pipeline[c]['total_sec']} |"
-                for c in LEVELS
-            )
-            + f"\n\nSpeedup: {p_speed:.2f}x -> efficiency {p_eff:.3f}.\n\n"
-            "## Why the two numbers differ (measured, not guessed)\n\n"
-            "A 34.5M-row sweep across local[2/4/8/16/32] fits Amdahl with\n"
-            "~28 s of non-scaling time per pipeline run: the parquet write/\n"
-            "commit path and driver-side stage orchestration, which do not\n"
-            "parallelize inside ONE shared JVM/box (RAM-backed storage\n"
-            "changed nothing; 601 MB/s disk is not the limiter; 32-thread\n"
-            "JVMs additionally saturate local memory bandwidth — artifacts\n"
-            "a real N-executor cluster does not have, since every executor\n"
-            "adds its own heap, memory channels, disks, and commit workers).\n"
-            "The kernel number isolates the work that actually multiplies\n"
-            "across executors and is the honest proxy for the N->4N\n"
-            "criterion; the pipeline number is reported unvarnished for\n"
-            "completeness.\n"
+            f"\n## Latest scaling run ({datetime.date.today()}; min of "
+            f"{int(os.environ.get('SPARK_GRAFT_SCALE_REPEATS', '2'))} "
+            "interleaved repeats per level)\n\n"
+            f"- kernel ({krows:,} rows): "
+            + ", ".join(f"local[{c}] {kernel[c]}s ({round(krows / kernel[c]):,} rows/s)" for c in LEVELS)
+            + f" -> speedup {k_speed:.2f}x, efficiency {k_eff:.3f}\n"
+            f"- pipeline ({rows:,} rows): "
+            + ", ".join(f"local[{c}] {pipeline[c]['total_sec']}s" for c in LEVELS)
+            + f" -> speedup {p_speed:.2f}x, efficiency {p_eff:.3f}\n"
         )
 
 
