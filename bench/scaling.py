@@ -13,9 +13,11 @@ Two measurements, both subprocess-isolated (one JVM per level):
    multiplies across executors on a real cluster, isolated from the
    single local disk/driver. This is the scaling-efficiency headline.
 
-Levels 4/16 rather than 8/32: one 32-thread JVM saturates the box's
-memory bandwidth and scheduler — a measurement artifact no multi-node
-cluster has (each executor brings its own memory channels).
+Default levels 1 vs 4: a pure-CPU control job shows this Firecracker
+VM's vCPUs are oversubscribed — from 4->16 cores even shuffle-free CPU
+work gains only ~2.5x, so 1 vs 4 (where the hardware delivers ~3.7x) is
+the only regime where an efficiency criterion is physically meaningful.
+See BENCH.md §2-3.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ N_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "12000"))
 N_SLOTS = int(os.environ.get("SPARK_GRAFT_SCALE_SLOTS", str(48 * 60)))
 K_URLS = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "24000"))
 K_SLOTS = int(os.environ.get("SPARK_GRAFT_KERNEL_SLOTS", str(48 * 60)))
-LEVELS = [4, 16]
+LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")]
 
 KERNEL_SCRIPT = r"""
 import sys, time, tempfile
