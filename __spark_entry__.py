@@ -767,8 +767,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, ts, value,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,

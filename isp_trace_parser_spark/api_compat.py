@@ -97,6 +97,7 @@ def get_zone_single_reference_year(
     end_year: int,
     reference_year: int,
     zone: str | List,
+    resource_type: str | List,
     directory: str | Path,
     year_type: YearType = "fy",
     select_columns: list[str] | None = None,
@@ -104,7 +105,8 @@ def get_zone_single_reference_year(
     """Reference get_data.py:236-328."""
     return _query_single(
         start_year, end_year, reference_year, directory,
-        filters={"zone": zone}, year_type=year_type,
+        filters={"zone": zone, "resource_type": resource_type},
+        year_type=year_type,
         select_columns=select_columns,
     )
 
@@ -152,13 +154,15 @@ def get_project_multiple_reference_years(
 def get_zone_multiple_reference_years(
     reference_year_mapping: dict[int, int],
     zone: str | List,
+    resource_type: str | List,
     directory: str | Path,
     year_type: YearType = "fy",
     select_columns: list[str] | None = None,
 ) -> pd.DataFrame:
     """Reference get_data.py:531-620."""
     return _query_multi(
-        reference_year_mapping, directory, {"zone": zone},
+        reference_year_mapping, directory,
+        {"zone": zone, "resource_type": resource_type},
         year_type, select_columns,
     )
 
@@ -208,62 +212,69 @@ def wind_project_single_reference_year(
 
 
 def solar_project_multiple_reference_years(
-    reference_year_mapping: dict[int, int], project: str,
+    reference_years: dict[int, int], project: str,
     directory: str | Path, year_type: YearType = "fy",
 ) -> pd.DataFrame:
-    """Reference get_data.py:862-914."""
+    """Reference get_data.py:862-914 (legacy keyword name ``reference_years``)."""
     return get_project_multiple_reference_years(
-        reference_year_mapping, project, directory, year_type
+        reference_years, project, directory, year_type
     )
 
 
 def solar_area_single_reference_year(
     start_year: int, end_year: int, reference_year: int, area: str,
-    directory: str | Path, year_type: YearType = "fy",
+    technology: str, directory: str | Path, year_type: YearType = "fy",
 ) -> pd.DataFrame:
-    """Reference get_data.py:917-981 ('area' is the zone column)."""
+    """Reference get_data.py:917-981 ('area' is the zone column;
+    'technology' maps to resource_type, get_data.py:978)."""
     return get_zone_single_reference_year(
-        start_year, end_year, reference_year, area, directory, year_type
+        start_year, end_year, reference_year, area, technology,
+        directory, year_type,
     )
 
 
 def solar_area_multiple_reference_years(
-    reference_year_mapping: dict[int, int], area: str,
+    reference_years: dict[int, int], area: str, technology: str,
     directory: str | Path, year_type: YearType = "fy",
 ) -> pd.DataFrame:
-    """Reference get_data.py:985-1041."""
+    """Reference get_data.py:985-1041 ('technology' -> resource_type,
+    get_data.py:1038)."""
     return get_zone_multiple_reference_years(
-        reference_year_mapping, area, directory, year_type
+        reference_years, area, technology, directory, year_type
     )
 
 
 def wind_project_multiple_reference_years(
-    reference_year_mapping: dict[int, int], project: str,
+    reference_years: dict[int, int], project: str,
     directory: str | Path, year_type: YearType = "fy",
 ) -> pd.DataFrame:
     """Reference get_data.py:1045-1097."""
     return get_project_multiple_reference_years(
-        reference_year_mapping, project, directory, year_type
+        reference_years, project, directory, year_type
     )
 
 
 def wind_area_single_reference_year(
     start_year: int, end_year: int, reference_year: int, area: str,
-    directory: str | Path, year_type: YearType = "fy",
+    resource_quality: str, directory: str | Path,
+    year_type: YearType = "fy",
 ) -> pd.DataFrame:
-    """Reference get_data.py:1101-1163."""
+    """Reference get_data.py:1101-1163 ('resource_quality' ->
+    resource_type, get_data.py:1160)."""
     return get_zone_single_reference_year(
-        start_year, end_year, reference_year, area, directory, year_type
+        start_year, end_year, reference_year, area, resource_quality,
+        directory, year_type,
     )
 
 
 def wind_area_multiple_reference_years(
-    reference_year_mapping: dict[int, int], area: str,
+    reference_years: dict[int, int], area: str, resource_quality: str,
     directory: str | Path, year_type: YearType = "fy",
 ) -> pd.DataFrame:
-    """Reference get_data.py:1233-1287."""
+    """Reference get_data.py:1233-1287 ('resource_quality' ->
+    resource_type, get_data.py:1284)."""
     return get_zone_multiple_reference_years(
-        reference_year_mapping, area, directory, year_type
+        reference_years, area, resource_quality, directory, year_type
     )
 
 
@@ -280,12 +291,13 @@ def demand_single_reference_year(
 
 
 def demand_multiple_reference_years(
-    reference_year_mapping: dict[int, int], subregion: str, scenario: str,
+    reference_years: dict[int, int], subregion: str, scenario: str,
     poe: str, demand_type: str, directory: str | Path,
     year_type: YearType = "fy",
 ) -> pd.DataFrame:
-    """Reference get_data.py:1166-1229."""
+    """Reference get_data.py:1166-1229 (legacy keyword name
+    ``reference_years``)."""
     return get_demand_multiple_reference_years(
-        reference_year_mapping, scenario, subregion, demand_type, poe,
+        reference_years, scenario, subregion, demand_type, poe,
         directory, year_type,
     )

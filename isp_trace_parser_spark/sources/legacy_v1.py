@@ -23,7 +23,19 @@ from pyspark.sql import functions as F
 
 def read_legacy_v1(spark: SparkSession, directory: str) -> DataFrame:
     """Read a v1 parsed-data tree -> canonical
-    ``(datetime, value, entity, entity_type, reference_year)``."""
+    ``(datetime, value, entity, entity_type, resource_type,
+    reference_year)``.
+
+    Two v1 layouts coexist under one ``<type>/RefYear<y>/`` root
+    (verified against reference example_parsed_data):
+
+    - ``Project/<project>/<file>.parquet`` — entity is the project
+      name, ``resource_type`` is null.
+    - ``Area/<zone>/<technology>/<file>.parquet`` — one level deeper:
+      entity is the ZONE (parts[-3]), the leaf dir (parts[-2]) is the
+      technology / resource quality (e.g. SAT, WH), emitted as
+      ``resource_type``; ``entity_type`` is 'zone'.
+    """
     if not os.path.exists(directory):
         raise ValueError(f"input directory does not exist: {directory}")
     df = (
@@ -33,8 +45,14 @@ def read_legacy_v1(spark: SparkSession, directory: str) -> DataFrame:
         .withColumn("_path", F.input_file_name())
     )
     parts = F.split(F.col("_path"), "/")
-    entity_raw = F.element_at(parts, -2)  # .../<entity>/<file>.parquet
-    entity_type = F.lower(F.element_at(parts, -3))  # Project | Zone
+    is_area = F.element_at(parts, -4) == F.lit("Area")
+    entity_raw = F.when(is_area, F.element_at(parts, -3)).otherwise(
+        F.element_at(parts, -2)
+    )
+    entity_type = F.when(is_area, F.lit("zone")).otherwise(
+        F.lower(F.element_at(parts, -3))  # 'Project' -> 'project'
+    )
+    resource_type = F.when(is_area, F.element_at(parts, -2))
     ref_year = F.regexp_extract(
         F.element_at(parts, -1), r"^RefYear(\d{4})_", 1
     ).cast("int")
@@ -43,5 +61,6 @@ def read_legacy_v1(spark: SparkSession, directory: str) -> DataFrame:
         F.col("Value").alias("value"),
         F.regexp_replace(entity_raw, "_", " ").alias("entity"),
         entity_type.alias("entity_type"),
+        resource_type.alias("resource_type"),
         ref_year.alias("reference_year"),
     )

@@ -102,6 +102,79 @@ def test_demand_multi_poe_column_policy(spark, demand_dir):
     assert list(out.columns) == ["datetime", "value", "poe"]
 
 
+@pytest.fixture(scope="module")
+def zone_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zones")
+    ts = pd.date_range("2021-07-01 00:30:00", periods=48 * 740, freq="30min")
+    rows = []
+    for zone in ("N1", "Q1"):
+        for rt in ("SAT", "WH"):
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "datetime": ts,
+                        "value": np.linspace(0, 1, len(ts))
+                        + (10.0 if rt == "SAT" else 20.0),
+                        "zone": zone,
+                        "reference_year": np.int32(2011),
+                        "resource_type": rt,
+                    }
+                )
+            )
+    spark.createDataFrame(pd.concat(rows, ignore_index=True)).write.parquet(
+        str(base / "z")
+    )
+    return str(base / "z")
+
+
+def test_zone_single_filters_resource_type(spark, zone_dir):
+    out = C.get_zone_single_reference_year(
+        2022, 2022, 2011, "Q1", "SAT", zone_dir
+    )
+    assert list(out.columns) == ["datetime", "value"]
+    assert len(out) == 365 * 48
+    assert (out["value"] < 20).all()  # WH rows (value>=20) excluded
+
+
+def test_zone_multi_resource_type_adds_column(spark, zone_dir):
+    out = C.get_zone_single_reference_year(
+        2022, 2022, 2011, "Q1", ["SAT", "WH"], zone_dir
+    )
+    assert list(out.columns) == ["datetime", "value", "resource_type"]
+    assert len(out) == 2 * 365 * 48
+
+
+def test_zone_multiple_reference_years_resource_type(spark, zone_dir):
+    out = C.get_zone_multiple_reference_years(
+        {2022: 2011}, "N1", "WH", zone_dir
+    )
+    assert len(out) == 365 * 48
+    assert (out["value"] >= 20).all()
+
+
+def test_area_passthroughs_map_to_resource_type(spark, zone_dir):
+    a = C.solar_area_single_reference_year(
+        2022, 2022, 2011, "Q1", "SAT", zone_dir
+    )
+    b = C.get_zone_single_reference_year(2022, 2022, 2011, "Q1", "SAT", zone_dir)
+    pd.testing.assert_frame_equal(a, b)
+    w = C.wind_area_single_reference_year(
+        2022, 2022, 2011, "Q1", "WH", zone_dir
+    )
+    assert (w["value"] >= 20).all()
+    # legacy keyword name `reference_years` (reference get_data.py:985,1233)
+    m = C.solar_area_multiple_reference_years(
+        reference_years={2022: 2011}, area="Q1", technology="SAT",
+        directory=zone_dir,
+    )
+    assert len(m) == 365 * 48
+    mw = C.wind_area_multiple_reference_years(
+        reference_years={2022: 2011}, area="Q1", resource_quality="WH",
+        directory=zone_dir,
+    )
+    assert (mw["value"] >= 20).all()
+
+
 def test_legacy_passthroughs(spark, project_dir):
     a = C.solar_project_single_reference_year(2022, 2022, 2011, "Bango", project_dir)
     b = C.wind_project_single_reference_year(2022, 2022, 2011, "Bango", project_dir)
