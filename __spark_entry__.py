@@ -446,7 +446,11 @@ def q_jaccard_pairs(spark, sf_dir):
     from isp_trace_parser_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, threshold=0.6)
+    # df-cap = 40% of the corpus: exercises the skew guard (drops
+    # corpus-wide tokens before the self-join) with the oracle applying
+    # the identical rule
+    n_docs = 200
+    out = ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=n_docs)
     return out.select("d1", "d2", _q("jaccard", 4).alias("jaccard"))
 
 
@@ -806,7 +810,10 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (SELECT DISTINCT doc_id,
                                 unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
                          FROM documents),
-            tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+            tok1 AS (SELECT * FROM tok WHERE tok <> ''),
+            dfreq AS (SELECT tok, count(*) AS df FROM tok1 GROUP BY 1),
+            tok2 AS (SELECT tok1.* FROM tok1 JOIN dfreq USING (tok)
+                     WHERE dfreq.df <= 200),
             sz AS (SELECT doc_id, count(*) n FROM tok2 GROUP BY 1),
             inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i
                       FROM tok2 a JOIN tok2 b USING (tok)

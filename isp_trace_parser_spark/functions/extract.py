@@ -66,10 +66,31 @@ def extract_text_reference(html: bytes | str) -> str:
     return "\n\n".join(blocks)
 
 
+# Series-level equivalents of the reference's per-block logic:
+# strip each block (Python str.strip() == \s minus \n, verified over the
+# whole BMP+), drop empty blocks, join with a blank line.
+_STRIP_RE = re.compile(r"^[^\S\n]+|[^\S\n]+$", re.M)
+_NL_RE = re.compile(r"\n+")
+
+
 def _extract_series(html: pd.Series) -> pd.Series:
-    # Vectorized-ish over the Arrow batch: pandas .str ops for the regex
-    # passes, single Python loop only for the final block join.
-    return html.map(extract_text_reference)
+    """Vectorized extractor: every pass is a whole-Series ``.str``
+    operation (no per-row Python function call), byte-identical to
+    :func:`extract_text_reference` (tests/test_extract.py pins this on
+    real and adversarial fixtures)."""
+    if pd.api.types.infer_dtype(html, skipna=True) == "bytes":
+        html = html.str.decode("utf-8", errors="replace")
+    s = html.str.replace(_HEAD_RE, "", regex=True)
+    s = s.str.replace(_SCRIPT_RE, "", regex=True)
+    s = s.str.replace(_BLOCK_RE, "\n", regex=True)
+    s = s.str.replace(_TAG_RE, "", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(_WS_RE, " ", regex=True)      # collapse within blocks
+    s = s.str.replace(_STRIP_RE, "", regex=True)    # strip each block
+    s = s.str.replace(_NL_RE, "\n", regex=True)     # drop empty blocks
+    s = s.str.strip("\n")
+    return s.str.replace("\n", "\n\n", regex=False)
 
 
 extract_text_udf = F.pandas_udf(_extract_series, StringType())

@@ -4,8 +4,9 @@ Five strategies, each chosen for a different scale/recall point:
 
 - exact: hash-groupBy on content — one shuffle, the baseline.
 - ngram-jaccard: exact Jaccard over token/shingle sets via a self-join
-  on shared tokens — quadratic in the worst case, for small/verified
-  candidate sets.
+  on shared tokens; a document-frequency cap (max_doc_freq) drops
+  corpus-wide tokens before the join so no single hot token can
+  generate a quadratic candidate set.
 - MinHash + LSH: shingles -> minhash signature (vectorized pandas UDF)
   -> bands -> bucket join. Sub-quadratic: only in-bucket pairs are
   compared. The 100 TB path.
@@ -26,23 +27,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 # ----------------------------------------------------------------- exact
+def _content_key(text_col: str):
+    """Two independently-seeded 64-bit hash lanes = one 128-bit content
+    key. Factored out so tests can degrade one lane and prove the other
+    still separates distinct documents."""
+    text = F.col(text_col)
+    return [F.xxhash64(text), F.xxhash64(F.lit("xxh-lane-2"), text)]
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep the lowest id per exact content; report group size.
 
-    Hashes first (xxhash64) so the shuffle moves 8-byte keys, not full
-    documents — at 100 TB the shuffle payload is the cost. Exact-equality
-    is then safe to claim because the full text rides along only within
-    each (tiny) hash group via the agg.
+    Hashes first so the shuffle moves fixed-size keys, not full
+    documents — at 100 TB the shuffle payload is the cost. The group
+    key is 128 bits (two independently-seeded xxhash64 lanes): a single
+    64-bit key expects ~n^2/2^65 silent false merges, material at
+    trillion-doc scale, while 128 bits pushes that below 1e-13.
     """
+    lane1, lane2 = _content_key(text_col)
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("content_hash"))
+        df.groupBy(
+            lane1.alias("content_hash"),
+            lane2.alias("content_hash2"),
+        )
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count("*").alias("dup_count"),
         )
-        .select("content_hash", "keep_id", "dup_count")
+        .select("content_hash", "content_hash2", "keep_id", "dup_count")
     )
 
 
@@ -62,6 +76,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     n: int = 1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over token (n=1) or n-gram shingle sets.
 
@@ -69,6 +84,15 @@ def ngram_jaccard_pairs(
     -> count intersections -> join set sizes (broadcastable: one row per
     doc) -> filter. The equi-join on shared tokens IS the candidate
     pruning: pairs sharing no token never materialize.
+
+    ``max_doc_freq`` is the skew guard: a token appearing in d documents
+    contributes d^2/2 candidate rows to the self-join, so one corpus-wide
+    stopword ("the") alone joins the whole corpus. Tokens with document
+    frequency above the cap are dropped from BOTH the candidate join and
+    the per-doc set sizes (so jaccard stays exact over the capped
+    vocabulary — the standard df-cut used by near-dup pipelines). Default
+    None keeps full exact semantics for small/verified corpora; at scale
+    always set it (e.g. 0.1% of corpus size).
     """
     if n == 1:
         toks = tokenize(df, text_col)
@@ -83,6 +107,14 @@ def ngram_jaccard_pairs(
             df.select("doc_id", F.explode(shingles).alias("tok"))
             .where(F.col("tok") != "")
             .distinct()
+        )
+    if max_doc_freq is not None:
+        # one aggregation over the token stream; high-DF tokens never
+        # reach the self-join (the d^2 blowup) nor the size counts
+        dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+        toks = (
+            toks.join(dfreq.where(F.col("_df") <= max_doc_freq), "tok")
+            .select("doc_id", "tok")
         )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a = toks.alias("a")

@@ -61,6 +61,29 @@ def build_name_mapping_df(
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
+_STEM_RE = None  # compiled lazily; same pattern as decode_trace_filename
+
+
+def _listing_stems(df: DataFrame) -> set[str]:
+    """Distinct trace stems from the scan's file listing — metadata
+    only, zero bytes of CSV read. Must stay in lockstep with
+    decode_trace_filename (sources/csv_trace.py:52)."""
+    global _STEM_RE
+    import re
+
+    if _STEM_RE is None:
+        _STEM_RE = re.compile(r"^(.*)_RefYear(\d{4})\.csv$")
+    stems: set[str] = set()
+    for path in df.inputFiles():
+        # keep the URI-encoded basename exactly as input_file_name()
+        # reports it, so the listing check and the broadcast join see
+        # the same stem spelling
+        base = path.rsplit("/", 1)[-1]
+        m = _STEM_RE.match(base)
+        stems.add(m.group(1) if m else base)
+    return stems
+
+
 def parse_traces(
     spark: SparkSession,
     input_directory: str,
@@ -81,18 +104,13 @@ def parse_traces(
 
     if fail_on_unknown:
         # the reference raises ValueError on unmapped stems
-        # (resource_trace_metadata.py:33-36); distributed equivalent:
-        # count unknowns in one cheap agg over distinct stems
-        unknown = (
-            joined.where(F.col("entity").isNull())
-            .select("trace_stem")
-            .distinct()
-            .limit(20)
-            .collect()
-        )
+        # (resource_trace_metadata.py:33-36). Stems are a pure function
+        # of the FILE LISTING, so validate from the scan's FileIndex
+        # metadata (df.inputFiles() — no data read, no second scan of
+        # the ingest I/O; the one real scan stays the main job below)
+        unknown = sorted(_listing_stems(wide) - set(mapping))[:20]
         if unknown:
-            names = [r["trace_stem"] for r in unknown]
-            raise ValueError(f"Unexpected trace filename stems: {names}")
+            raise ValueError(f"Unexpected trace filename stems: {unknown}")
     else:
         joined = joined.where(F.col("entity").isNotNull())
 

@@ -73,20 +73,45 @@ class Catalog:
         mode: str = "overwrite",
         repartition: bool = True,
         lineage: dict[str, Any] | None = None,
+        dist_by: list[str] | None = None,
+        dist_buckets: int | str | None = "auto",
     ) -> dict[str, Any]:
         """Partitioned, optionally within-partition-sorted write.
 
         ``mode='dynamic'`` overwrites only the partitions present in
         ``df`` (Iceberg ``overwritePartitions`` semantics) and leaves the
         rest of the table intact.
+
+        Write parallelism: repartitioning on the partition columns alone
+        would put each partition VALUE through exactly one reducer — a
+        hot day at 100x scale funnels tens of GB through a single task.
+        So the shuffle key is ``(*partition_by, salt)`` where salt =
+        ``xxhash64(dist_by) % dist_buckets``. ``dist_by`` defaults to the
+        leading ``sort_within`` column (the series key), keeping each
+        series whole within one file while a hot partition fans out
+        across up to ``dist_buckets`` tasks. ``dist_buckets='auto'``
+        scales with the cluster (defaultParallelism/8, >=2); pass None to
+        force the old one-file-per-partition layout.
         """
         path = self.table_path(name)
         writer_df = df
         if partition_by:
             if repartition:
-                # co-locate each output partition's rows -> one file per
-                # partition, no small-files explosion at scale
-                writer_df = writer_df.repartition(*[F.col(c) for c in partition_by])
+                cols = [F.col(c) for c in partition_by]
+                salt_src = dist_by if dist_by is not None else (
+                    [sort_within[0]] if sort_within else []
+                )
+                salt_src = [c for c in salt_src if c not in partition_by]
+                nb = dist_buckets
+                if nb == "auto":
+                    nb = max(2, self.spark.sparkContext.defaultParallelism // 8)
+                if salt_src and nb and int(nb) > 1:
+                    salt = F.pmod(
+                        F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(int(nb))
+                    )
+                    writer_df = writer_df.repartition(*cols, salt)
+                else:
+                    writer_df = writer_df.repartition(*cols)
             if sort_within:
                 # partition cols MUST prefix the sort: FileFormatWriter
                 # otherwise injects its own sort by partition cols and

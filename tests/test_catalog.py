@@ -37,6 +37,47 @@ def test_sort_within_partition_files(spark, cat):
         assert part["ts"].is_monotonic_increasing
 
 
+def test_write_fans_hot_partition_across_tasks(spark, cat):
+    """A hot partition value must not serialize through one reducer:
+    with the default salted distribution, each partition value's rows
+    fan out across >1 task (>1 file); dist_buckets=None restores the
+    one-file-per-value layout."""
+    pdf = pd.DataFrame(
+        {
+            "k": [f"p{i % 2}" for i in range(4000)],
+            "series": [f"s{i % 64}" for i in range(4000)],
+            "ts": pd.date_range("2024-01-01", periods=4000, freq="1min"),
+            "v": range(4000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # AQE would coalesce this 4000-row shuffle into one partition; at
+    # scale a hot day exceeds the advisory size and keeps its buckets.
+    # Disable coalescing so the salt's fan-out is observable at test size.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        cat.write(df, "hot", partition_by=["k"], sort_within=["series", "ts"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    for part in ("k=p0", "k=p1"):
+        pdir = os.path.join(cat.table_path("hot"), part)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert len(files) > 1, f"{part} wrote through a single task"
+        for f in files:  # each file still (series, ts)-sorted
+            data = pd.read_parquet(os.path.join(pdir, f))
+            assert not data.sort_values(["series", "ts"]).reset_index(
+                drop=True
+            ).compare(data.reset_index(drop=True)).size
+    cat.write(
+        df, "cold", partition_by=["k"], sort_within=["series", "ts"],
+        dist_buckets=None,
+    )
+    for part in ("k=p0", "k=p1"):
+        pdir = os.path.join(cat.table_path("cold"), part)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert len(files) == 1
+
+
 def test_dynamic_overwrite_preserves_other_partitions(spark, cat):
     cat.write(_df(spark), "t", partition_by=["k"])
     before = cat.read("t").where("k = 'p1'").count()

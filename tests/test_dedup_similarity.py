@@ -77,6 +77,52 @@ def test_dedup_on_real_documents(spark, docs):
     assert out["dup_count"].sum() == docs.count()
 
 
+def test_exact_dedup_survives_first_lane_collision(spark, dup_docs, monkeypatch):
+    """128-bit key property: even if the first hash lane collides for
+    EVERY document (degraded here to a constant), distinct texts must
+    not merge — the second independently-seeded lane separates them.
+    A real xxhash64 collision can't be crafted, so we degrade lane 1."""
+    real_key = dedup._content_key
+
+    def degenerate_lane1(text_col):
+        lanes = real_key(text_col)
+        return [F.lit(0).cast("long"), lanes[1]]
+
+    monkeypatch.setattr(dedup, "_content_key", degenerate_lane1)
+    out = dedup.exact_dedup(dup_docs).toPandas()
+    assert len(out) == 6  # still one group per distinct text
+    assert out["dup_count"].sum() == 8
+
+
+def test_jaccard_df_cap_defuses_hot_token(spark):
+    """One corpus-wide token must not explode the candidate set: with
+    the cap, docs sharing ONLY the hot token produce zero pairs and the
+    join input shrinks to the rare-token rows."""
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            # every doc contains 'common'; docs i and i+1 share 'pair<k>'
+            "text": [
+                f"common pair{i // 2} word{i}" for i in range(n)
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    uncapped = dedup.ngram_jaccard_pairs(sdf, threshold=0.0).toPandas()
+    capped = dedup.ngram_jaccard_pairs(
+        sdf, threshold=0.0, max_doc_freq=n - 1
+    ).toPandas()
+    # without the cap the hot token makes every pair a candidate
+    assert len(uncapped) == n * (n - 1) / 2
+    # with it, only the designed pair-token pairs survive
+    assert len(capped) == n / 2
+    got = {tuple(sorted((r.d1, r.d2))) for r in capped.itertuples()}
+    assert got == {(2 * k, 2 * k + 1) for k in range(n // 2)}
+    # jaccard is exact over the capped vocabulary: 1 shared / 3 union
+    assert np.allclose(capped["jaccard"], 1 / 3)
+
+
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -33,6 +33,42 @@ def test_udf_byte_identical_to_reference(spark):
         assert t.encode() == e.encode()
 
 
+def test_series_extractor_byte_identical_adversarial():
+    """The vectorized Series pipeline vs the per-row reference on inputs
+    chosen to break the block-strip/empty-drop equivalences: unicode
+    whitespace (strip() semantics), empty blocks, entity ordering,
+    leading/trailing separators."""
+    import pandas as pd
+
+    from isp_trace_parser_spark.functions.extract import _extract_series
+
+    cases = [
+        "",
+        "<p></p><p> </p><p> </p>",                 # all-empty blocks
+        "<p> lead nbsp</p>",                        # strip() unicode ws
+        "<p> em space </p>",              # more unicode ws
+        "<p>a&amp;lt;b</p>",                             # &amp; decoded last
+        "<p>&nbsp;&nbsp;x</p>",                          # entity -> space -> strip
+        "<br><br><p>x</p><br>",                          # separator runs at ends
+        "<div>a<div>b</div></div>no tag tail",
+        "<P>upper CASE tags</P><LI>item</LI>",
+        "<script>drop<p>this</p></script><p>keep</p>",
+        "<head><title>t</title></head><p>body</p>",
+        "text\twith\ttabs\r\nand crlf",
+        "<p>mid block nbsp stays</p>",
+        "a\x1c\x1d\x1e\x1f b",                           # isspace() control chars
+        "<p>" + " " * 50 + "</p><p>y</p>",
+    ]
+    got = _extract_series(pd.Series(cases))
+    for inp, g in zip(cases, got):
+        e = extract_text_reference(inp)
+        assert g.encode() == e.encode(), repr(inp)
+    # bytes input path
+    got_b = _extract_series(pd.Series([c.encode() for c in cases]))
+    for inp, g in zip(cases, got_b):
+        assert g.encode() == extract_text_reference(inp.encode()).encode()
+
+
 def test_reference_extractor_edge_cases():
     assert extract_text_reference(b"<p>a&amp;b</p><p> two  words </p>") == "a&b\n\ntwo words"
     assert extract_text_reference("<script>var x=1;</script><p>ok</p>") == "ok"

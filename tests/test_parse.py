@@ -76,6 +76,26 @@ def test_parse_unknown_stem_fails_loud(spark, tmp_path):
         parse_traces(spark, str(d), cat, "t", MAPPING)
 
 
+def test_unknown_stem_validation_runs_zero_jobs(spark, tmp_path):
+    """Stem validation must come from the file LISTING, not a data scan:
+    a failing parse_traces call should raise before any Spark job runs
+    (the old implementation collected over the full CSV scan, doubling
+    ingest I/O on the success path)."""
+    d = tmp_path / "c3"
+    d.mkdir()
+    _write_csv(d / "MYSTERY_RefYear2022.csv", seed=1)
+    cat = Catalog(spark, str(tmp_path / "wh4"))
+    sc = spark.sparkContext
+    sc.setJobGroup("stem-validate", "unknown-stem validation", False)
+    try:
+        with pytest.raises(ValueError, match="Unexpected trace filename"):
+            parse_traces(spark, str(d), cat, "t", MAPPING)
+        jobs = sc.statusTracker().getJobIdsForGroup("stem-validate")
+        assert list(jobs) == [], "validation triggered a Spark job"
+    finally:
+        sc.setJobGroup("", "", False)
+
+
 def test_parse_metadata_prefilter(spark, tmp_path, csv_dir):
     directory, _ = csv_dir
     cat = Catalog(spark, str(tmp_path / "wh3"))
