@@ -16,6 +16,7 @@ session defaults. Oracle SQL builds bucket timestamps with DuckDB's
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -584,6 +585,70 @@ def q_media_features(spark, sf_dir):
     return out.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim"))
 
 
+# ----------------------------------------------- parse + sink (direct
+# oracle rows for SURVEY §2 S1/S2/P5/P6/R2/R3/O1 and S5/S6/S7/O3 — the
+# operators round 1 verified only via pytest)
+_AEMO_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "aemo_csv"
+)
+_AEMO_LABELS = ",".join(f'"{i:02d}"' for i in range(1, 49))
+_AEMO_MAPPING = {
+    "REZ_N1_Solar": {"entity": "N1", "entity_type": "zone",
+                     "resource_type": "solar", "parent": "NSW"},
+    "SNOWSTH1": {"entity": "Snowtown S2", "entity_type": "project",
+                 "resource_type": "wind", "parent": "S5"},
+    "SNOWNTH1": {"entity": "Snowtown S2", "entity_type": "project",
+                 "resource_type": "wind", "parent": "S5"},
+}
+
+
+def q_parse_csv_to_long(spark, sf_dir):
+    """Whole parse pipeline vs a DuckDB read_csv oracle: recursive CSV
+    discovery (S1), declared schema (S2), filename->metadata decode
+    (P6), broadcast mapping join (J1), wide->long stack (R1/R2),
+    timestamp assembly (R3), multi-file mean-merge (A1), sorted egress
+    (O1). Two reference years in the fixture exercise P5-style metadata
+    partitioning of the scan."""
+    _prep(spark)
+    from isp_trace_parser_spark.parse import parse_traces_df
+
+    out = parse_traces_df(spark, _AEMO_FIXTURE_DIR, _AEMO_MAPPING)
+    return out.select(
+        "datetime", _q("value", 6).alias("value"), "entity", "entity_type",
+        "resource_type", "parent", "reference_year",
+    ).orderBy("entity", "reference_year", "datetime")
+
+
+def q_partitioned_sink_roundtrip(spark, sf_dir):
+    """Partitioned sorted sink + dynamic overwrite + retention expiry +
+    readback (S5/S6/S7/O3) vs a pure SELECT oracle: what survives the
+    write/overwrite/expire cycle must equal the source rows at/after the
+    retention cutoff (3rd distinct day), bit-for-bit."""
+    _prep(spark)
+    import tempfile
+
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="sink_rt_"))
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    cat.write(ev, "ev", partition_by=["day"], sort_within=["user_id", "ts"])
+    days = sorted(cat.list_partitions("ev", "day"))
+    # dynamic overwrite of the newest day (same rows) must leave every
+    # other partition untouched
+    cat.write(
+        ev.where(F.col("day") == days[-1]), "ev",
+        partition_by=["day"], sort_within=["user_id", "ts"], mode="dynamic",
+    )
+    cutoff = days[min(2, len(days) - 1)]
+    cat.expire_partitions("ev", "day", [d for d in days if d < cutoff])
+    back = cat.read("ev")
+    return back.select(
+        "user_id", "event_id", "ts", _q("value", 4).alias("value"), "day"
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -629,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "frame_sample_plan": q_frame_sample_plan,
         "media_features": q_media_features,
+        "parse_csv_to_long": q_parse_csv_to_long,
+        "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
     }
 
 
@@ -876,6 +943,46 @@ def oracle_sql() -> dict[str, str]:
                      FROM scored GROUP BY doc_id)
             SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
             FROM best""",
+        "parse_csv_to_long": rf"""
+            WITH raw AS (
+              SELECT *, parse_filename(filename) AS fname
+              FROM read_csv('{_AEMO_FIXTURE_DIR}/*.csv', header=true, filename=true)
+            ),
+            dec AS (
+              SELECT *,
+                     regexp_extract(fname, '^(.*)_RefYear(\d{{4}})\.csv$', 1) AS trace_stem,
+                     CAST(regexp_extract(fname, '^(.*)_RefYear(\d{{4}})\.csv$', 2) AS INTEGER) AS reference_year
+              FROM raw
+            ),
+            mapping(trace_stem, entity, entity_type, resource_type, parent) AS (
+              VALUES ('REZ_N1_Solar','N1','zone','solar','NSW'),
+                     ('SNOWSTH1','Snowtown S2','project','wind','S5'),
+                     ('SNOWNTH1','Snowtown S2','project','wind','S5')
+            ),
+            j AS (SELECT dec.*, m.entity, m.entity_type, m.resource_type, m.parent
+                  FROM dec JOIN mapping m USING (trace_stem)),
+            up AS (
+              SELECT Year, Month, Day, entity, entity_type, resource_type,
+                     parent, reference_year, label, value
+              FROM j UNPIVOT (value FOR label IN ({_AEMO_LABELS}))
+            ),
+            long AS (
+              SELECT make_timestamp(Year, Month, Day, 0, 0, 0)
+                       + to_minutes(30 * CAST(label AS INTEGER)) AS datetime,
+                     value, entity, entity_type, resource_type, parent,
+                     reference_year
+              FROM up
+            )
+            SELECT datetime, round(avg(value), 6) AS value, entity,
+                   entity_type, resource_type, parent, reference_year
+            FROM long GROUP BY ALL""",
+        "partitioned_sink_roundtrip": """
+            WITH e AS (SELECT user_id, event_id, ts, round(value, 4) AS value,
+                              strftime(ts, '%Y-%m-%d') AS day
+                       FROM events),
+            cut AS (SELECT day FROM (SELECT DISTINCT day FROM e ORDER BY day LIMIT 3) t
+                    ORDER BY day DESC LIMIT 1)
+            SELECT e.* FROM e, cut WHERE e.day >= cut.day""",
         # minhash_lsh_pairs / simhash_fingerprints / ann_* /
         # embedding_near_dups / doc_fingerprints / frame_sample_plan /
         # media_features: hash- or approximation-based — not expressible

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from isp_trace_parser_spark import input_validation as validation
 from isp_trace_parser_spark.plans.windows import year_range_to_dt_range
 
 
@@ -87,6 +88,9 @@ def query_single_reference_year(
     """The reference kernel as one declarative Spark plan. Returns a
     DataFrame (call .toPandas() for the reference's pandas egress,
     get_data.py:113)."""
+    validation.start_year_before_end_year(start_year, end_year)
+    validation.validate_year_type(year_type)
+    validation.validate_filter_columns(df.columns, filters, select_columns, ts_col)
     start_dt, end_dt = year_range_to_dt_range(start_year, end_year, year_type)
     filtered = _apply_filters(df, start_dt, end_dt, reference_year, filters, ts_col)
     cols = _columns_to_select(df.columns, filters, select_columns, ts_col)
@@ -107,6 +111,7 @@ def query_multiple_reference_years(
     frames). Since year windows are disjoint and ascending in practice,
     the result order matches the reference's.
     """
+    validation.validate_reference_year_mapping(reference_year_mapping)
     subs = [
         query_single_reference_year(
             df,

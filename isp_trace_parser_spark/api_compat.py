@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 from isp_trace_parser_spark import api
+from isp_trace_parser_spark import input_validation as validation
 from isp_trace_parser_spark.session import get_spark
 
 YearType = Literal["fy", "calendar"]
@@ -44,7 +45,7 @@ def _query_single(
     select_columns: list[str] | None = None,
 ) -> pd.DataFrame:
     spark = _spark()
-    df = spark.read.parquet(str(directory))
+    df = spark.read.parquet(str(validation.parsed_directory(directory)))
     return api.query_single_reference_year(
         df,
         start_year=start_year,
@@ -64,7 +65,7 @@ def _query_multi(
     select_columns: list[str] | None = None,
 ) -> pd.DataFrame:
     spark = _spark()
-    df = spark.read.parquet(str(directory))
+    df = spark.read.parquet(str(validation.parsed_directory(directory)))
     return api.query_multiple_reference_years(
         df,
         reference_year_mapping=reference_year_mapping,

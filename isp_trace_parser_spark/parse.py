@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from isp_trace_parser_spark.functions.restructure import trace_formatter
+from isp_trace_parser_spark.input_validation import metadata_filter_to_parse_dims
 from isp_trace_parser_spark.sources.catalog import Catalog
 from isp_trace_parser_spark.sources.csv_trace import (
     decode_trace_filename,
@@ -84,18 +85,23 @@ def _listing_stems(df: DataFrame) -> set[str]:
     return stems
 
 
-def parse_traces(
+def parse_traces_df(
     spark: SparkSession,
     input_directory: str,
-    cat: Catalog,
-    table: str,
     mapping: dict[str, dict[str, Any]],
     filters: dict[str, Any] | None = None,
     fail_on_unknown: bool = True,
-) -> dict[str, Any]:
-    """End-to-end parse job. ``filters`` are metadata pre-filters
-    (reference P5, helper_functions.py:131-142): {column: value | [values]}
-    over entity/entity_type/resource_type/parent/reference_year."""
+) -> DataFrame:
+    """The parse pipeline as a DataFrame (no sink): CSV scan -> filename
+    decode -> broadcast mapping join -> metadata pre-filter -> wide->long
+    -> mean-merge. ``filters`` are metadata pre-filters (reference P5,
+    helper_functions.py:131-142): {column: value | [values]} over
+    entity/entity_type/resource_type/parent/reference_year, or a
+    reference-style Solar/Wind/DemandMetadataFilter model."""
+    if filters is not None and hasattr(filters, "model_dump"):
+        # reference-style Solar/Wind/DemandMetadataFilter model
+        # (solar_traces.py:24-55) -> parse dim columns
+        filters = metadata_filter_to_parse_dims(filters)
     wide = read_wide_trace_csvs(spark, input_directory)
     decoded = decode_trace_filename(wide)
 
@@ -132,9 +138,25 @@ def parse_traces(
         "reference_year",
     ).agg(F.avg("value").alias("value"))
 
-    out = merged.select(
+    return merged.select(
         "datetime", "value", "entity", "entity_type", "resource_type",
         "parent", F.col("reference_year").cast("int").alias("reference_year"),
+    )
+
+
+def parse_traces(
+    spark: SparkSession,
+    input_directory: str,
+    cat: Catalog,
+    table: str,
+    mapping: dict[str, dict[str, Any]],
+    filters: dict[str, Any] | None = None,
+    fail_on_unknown: bool = True,
+) -> dict[str, Any]:
+    """End-to-end parse job: :func:`parse_traces_df` + catalog sink
+    partitioned by reference_year, entity/datetime-sorted files."""
+    out = parse_traces_df(
+        spark, input_directory, mapping, filters, fail_on_unknown
     )
     return cat.write(
         out,
