@@ -108,6 +108,36 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # --- HTML extraction throughput (the raw-scan-path CPU dominant):
+    # vectorized Series .str passes, byte-identical to the reference
+    # extractor (functions/extract.py) ---
+    from pyspark.sql import functions as F
+
+    from isp_trace_parser_spark.functions.extract import with_extracted_text
+
+    ext_urls = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRACT_URLS", "500"))
+    ext_slots = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRACT_SLOTS", "400"))
+    html_df = synth.pages(
+        spark, n_urls=ext_urls, n_slots=ext_slots, gap_pct=0,
+        partitions=max(CPUS * 2, 32),
+    ).select("url", "html")
+    html_df.count()  # materialize synth inputs outside the timed window
+    t2 = time.perf_counter()
+    ext_bytes = (
+        with_extracted_text(html_df)
+        .select(F.sum(F.length("extracted_text")).alias("b"))
+        .collect()[0]["b"]
+    )
+    extract_dt = time.perf_counter() - t2
+    n_docs = ext_urls * ext_slots
+    results["html_extract"] = round(extract_dt, 3)
+    total += extract_dt
+    print(
+        f"# html_extract {extract_dt:.3f}s docs={n_docs} "
+        f"({n_docs / extract_dt:,.0f} docs/s, {ext_bytes} text bytes)",
+        file=sys.stderr,
+    )
+
     out = {
         "metric": "headline suite wall time (3-tier rollup+codec, gapfill, "
         "get_data-parity windows, dedup/ANN/text) at sf",
@@ -118,6 +148,7 @@ def main() -> None:
         "cpus": CPUS,
         "rollup_rows_per_sec": round(points / rollup_dt, 1),
         "compression_ratio": round(ratio, 4),
+        "extract_docs_per_sec": round(n_docs / extract_dt, 1),
     }
     print(json.dumps(out))
     spark.stop()

@@ -72,6 +72,15 @@ def extract_text_reference(html: bytes | str) -> str:
 _STRIP_RE = re.compile(r"^[^\S\n]+|[^\S\n]+$", re.M)
 _NL_RE = re.compile(r"\n+")
 
+# One alternation pass == the reference's six sequential replaces: no
+# replacement char (< > " ' space &) can occur inside another entity
+# token, and &amp; — the only one whose output (&) prefixes entities —
+# is both last in the sequential order and harmless because neither
+# str.replace nor re.sub rescans its own output. Pinned by the
+# entity-cascade cases in tests/test_extract.py.
+_ENT_RE = re.compile("|".join(re.escape(e) for e, _ in _ENTITIES))
+_ENT_MAP = dict(_ENTITIES)
+
 
 def _extract_series(html: pd.Series) -> pd.Series:
     """Vectorized extractor: every pass is a whole-Series ``.str``
@@ -84,8 +93,7 @@ def _extract_series(html: pd.Series) -> pd.Series:
     s = s.str.replace(_SCRIPT_RE, "", regex=True)
     s = s.str.replace(_BLOCK_RE, "\n", regex=True)
     s = s.str.replace(_TAG_RE, "", regex=True)
-    for ent, ch in _ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(_ENT_RE, lambda m: _ENT_MAP[m.group(0)], regex=True)
     s = s.str.replace(_WS_RE, " ", regex=True)      # collapse within blocks
     s = s.str.replace(_STRIP_RE, "", regex=True)    # strip each block
     s = s.str.replace(_NL_RE, "\n", regex=True)     # drop empty blocks

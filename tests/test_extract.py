@@ -49,6 +49,9 @@ def test_series_extractor_byte_identical_adversarial():
         "<p> em space </p>",              # more unicode ws
         "<p>a&amp;lt;b</p>",                             # &amp; decoded last
         "<p>&nbsp;&nbsp;x</p>",                          # entity -> space -> strip
+        "<p>&&amp;amp;</p>",                             # no rescan of output
+        "<p>&amp;nbsp;</p>",                             # & must not re-seed nbsp
+        "<p>&amp;&lt;&gt;&quot;&#39;&nbsp;</p>",         # all entities adjacent
         "<br><br><p>x</p><br>",                          # separator runs at ends
         "<div>a<div>b</div></div>no tag tail",
         "<P>upper CASE tags</P><LI>item</LI>",
