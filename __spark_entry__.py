@@ -516,7 +516,9 @@ def q_embedding_near_dups(spark, sf_dir):
     from isp_trace_parser_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(emb, threshold=0.35, bits=4)
+    # default bits=8: same-bucket self-join carries ~n^2/256 candidate
+    # pairs (bits=4 would be n^2/16 — a scale flaw, VERDICT r1)
+    out = embedding_near_dup_pairs(emb, threshold=0.35, bits=8)
     return out.select("d1", "d2", _q("cosine_sim", 4).alias("cosine_sim"))
 
 
@@ -649,6 +651,27 @@ def q_partitioned_sink_roundtrip(spark, sf_dir):
     )
 
 
+_LEGACY_V1_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures",
+    "legacy_v1", "solar",
+)
+
+
+def q_legacy_v1_read(spark, sf_dir):
+    """v1 parsed-tree migration reader vs a DuckDB filename-decode
+    oracle: both Project/<entity>/ and the deeper Area/<zone>/<tech>/
+    layouts (reference example_parsed_data), with capitalized
+    Datetime/Value normalization and path-metadata columns."""
+    _prep(spark)
+    from isp_trace_parser_spark.sources.legacy_v1 import read_legacy_v1
+
+    out = read_legacy_v1(spark, _LEGACY_V1_DIR)
+    return out.select(
+        "datetime", _q("value", 6).alias("value"), "entity", "entity_type",
+        "resource_type", "reference_year",
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -696,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "parse_csv_to_long": q_parse_csv_to_long,
         "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+        "legacy_v1_read": q_legacy_v1_read,
     }
 
 
@@ -983,6 +1007,21 @@ def oracle_sql() -> dict[str, str]:
             cut AS (SELECT day FROM (SELECT DISTINCT day FROM e ORDER BY day LIMIT 3) t
                     ORDER BY day DESC LIMIT 1)
             SELECT e.* FROM e, cut WHERE e.day >= cut.day""",
+        "legacy_v1_read": rf"""
+            WITH raw AS (
+              SELECT Datetime AS datetime, round(Value, 6) AS value,
+                     string_split(filename, '/') AS parts
+              FROM read_parquet('{_LEGACY_V1_DIR}/**/*.parquet', filename=true)
+            )
+            SELECT datetime, value,
+                   replace(CASE WHEN parts[-4] = 'Area' THEN parts[-3]
+                                ELSE parts[-2] END, '_', ' ') AS entity,
+                   CASE WHEN parts[-4] = 'Area' THEN 'zone'
+                        ELSE lower(parts[-3]) END AS entity_type,
+                   CASE WHEN parts[-4] = 'Area' THEN parts[-2] END AS resource_type,
+                   CAST(regexp_extract(parts[-1], '^RefYear(\d{{4}})_', 1) AS INTEGER)
+                     AS reference_year
+            FROM raw""",
         # minhash_lsh_pairs / simhash_fingerprints / ann_* /
         # embedding_near_dups / doc_fingerprints / frame_sample_plan /
         # media_features: hash- or approximation-based — not expressible

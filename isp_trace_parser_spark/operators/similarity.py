@@ -143,9 +143,13 @@ def train_centroids_sample(
     """Deterministic coarse quantizer: seeded sample -> numpy k-means
     (a few Lloyd iterations on the sample; the sample fits the driver,
     the assignment pass stays distributed)."""
+    # bounded driver pull without a separate count job: deterministic
+    # hash-based row filter approximates the sampling fraction, then a
+    # hard limit caps the transfer whatever the table size
     sample = np.array(
         df.select(vec_col)
-        .sample(fraction=min(1.0, 4000 / max(df.count(), 1)), seed=seed)
+        .orderBy(F.xxhash64(vec_col))  # deterministic pseudo-shuffle
+        .limit(4000)
         .toPandas()[vec_col]
         .tolist(),
         dtype=np.float64,
