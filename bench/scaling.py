@@ -54,6 +54,9 @@ pages.write.parquet(src)
 raw = spark.read.parquet(src)
 
 t = time.perf_counter()
+# one shuffle for the whole cascade: HashPartitioning(url) satisfies
+# every tier's (series, bucket) clustering (see rollup.build_tiers)
+raw = raw.repartition(64, "url")
 t30 = rollup.rollup_raw(raw, "url", "warc_ts", "value").persist()
 t30.write.format("noop").mode("overwrite").save()
 t1d = rollup.rollup_cascade(t30, rollup.TIER_SECONDS["1d"]).persist()

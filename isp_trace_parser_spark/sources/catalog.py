@@ -57,11 +57,94 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return os.path.exists(self._snapshot_log(name))
 
+    def _ident(self, name: str) -> str:
+        """Session-catalog identifier for bucketed tables: unique per
+        (warehouse, name) so two Catalog instances in one SparkSession
+        (common in tests) never collide."""
+        h = hashlib.md5(self.warehouse.encode()).hexdigest()[:8]
+        return f"bkt_{h}_{name}"
+
     # -- IO ----------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
+        # bucketed tables come back through the session catalog so the
+        # scan carries the HashPartitioning metadata (shuffle-free
+        # groupBy/window/join on the bucket key); self-registers from
+        # the snapshot's bucket spec in a fresh session
+        spec = self._bucket_spec(name)
+        if spec is not None:
+            ident = self._ident(name)
+            if not self.spark.catalog.tableExists(ident):
+                self.register_bucketed(name)
+            return self.spark.table(ident)
         # basePath keeps partition columns typed + present after pruning
         return self.spark.read.option("basePath", self.table_path(name)).parquet(
             self.table_path(name)
+        )
+
+    def _bucket_spec(self, name: str) -> dict[str, Any] | None:
+        snap = self.last_snapshot(name) if self.exists(name) else None
+        return (snap or {}).get("bucket_spec")
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_by: list[str],
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+        mode: str = "overwrite",
+        lineage: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Hash-bucketed, per-bucket-sorted table (Iceberg
+        ``bucket(N, col)`` partition-transform analog via Spark
+        bucketing). Reading it back gives scans whose output is already
+        HashPartitioning(bucket_by) — every downstream groupBy / window
+        / join keyed on (a superset of) ``bucket_by`` runs with ZERO
+        exchanges, which at 100 TB removes the dominant shuffle of the
+        tier cascade and the gap-fill window (pinned by
+        tests/test_plans.py). ``mode='overwrite'`` replaces the table
+        (snapshot history restarts, like an Iceberg REPLACE TABLE)."""
+        ident = self._ident(name)
+        path = self.table_path(name)
+        writer = df.write.format("parquet").bucketBy(n_buckets, *bucket_by)
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.option("path", path).mode(mode).saveAsTable(ident)
+        return self.commit_snapshot(
+            name,
+            operation=f"write_bucketed:{mode}",
+            partition_by=[],
+            lineage=lineage or {},
+            extra={
+                "bucket_spec": {
+                    "bucket_by": bucket_by,
+                    "n_buckets": n_buckets,
+                    "sort_by": sort_by or [],
+                }
+            },
+        )
+
+    def register_bucketed(self, name: str) -> None:
+        """Re-attach a bucketed table in a fresh SparkSession from its
+        on-disk files + the snapshot's bucket spec (external
+        ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL)."""
+        spec = self._bucket_spec(name)
+        if spec is None:
+            raise ValueError(f"{name} has no bucket_spec snapshot")
+        path = self.table_path(name)
+        schema = self.spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+        sort_clause = (
+            "SORTED BY (" + ", ".join(f"`{c}`" for c in spec["sort_by"]) + ")"
+            if spec["sort_by"]
+            else ""
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._ident(name)} ({cols}) "
+            f"USING parquet "
+            f"CLUSTERED BY ({', '.join(f'`{c}`' for c in spec['bucket_by'])}) "
+            f"{sort_clause} INTO {spec['n_buckets']} BUCKETS "
+            f"LOCATION '{path}'"
         )
 
     def write(
@@ -147,6 +230,7 @@ class Catalog:
         operation: str,
         partition_by: list[str] | None = None,
         lineage: dict[str, Any] | None = None,
+        extra: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Append a snapshot record with per-partition file/byte metrics."""
         path = self.table_path(name)
@@ -184,6 +268,7 @@ class Catalog:
             "bytes": total_bytes,
             "partitions": part_metrics,
             "lineage": lineage or {},
+            **(extra or {}),
         }
         with open(self._snapshot_log(name), "a") as fh:
             fh.write(json.dumps(snap) + "\n")
