@@ -672,6 +672,44 @@ def q_legacy_v1_read(spark, sf_dir):
     )
 
 
+def q_streaming_rollup_30m(spark, sf_dir):
+    """Structured-Streaming 30m tier vs the SAME DuckDB oracle as the
+    batch tier: a watermarked streaming aggregation over the events
+    table (availableNow trigger, memory sink) must produce the batch
+    result exactly — decimal partial sums make the streamed
+    accumulation order-independent, so even the value hash matches."""
+    _prep(spark)
+    import tempfile
+    import uuid
+
+    from isp_trace_parser_spark.streaming.rollup_stream import (
+        streaming_rollup_30m,
+    )
+
+    # FileStreamSource needs a DIRECTORY source; events.parquet is a
+    # single file, so stream the parent dir with a glob filter
+    path = f"{sf_dir}/events.parquet"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = streaming_rollup_30m(
+        stream, series_col="event_type", ts_col="ts", sum_cast=DEC
+    )
+    qname = f"stream30m_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck30m_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _round_aggs(spark.table(qname))
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -720,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_csv_to_long": q_parse_csv_to_long,
         "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
         "legacy_v1_read": q_legacy_v1_read,
+        "streaming_rollup_30m": q_streaming_rollup_30m,
     }
 
 
@@ -1007,6 +1046,9 @@ def oracle_sql() -> dict[str, str]:
             cut AS (SELECT day FROM (SELECT DISTINCT day FROM e ORDER BY day LIMIT 3) t
                     ORDER BY day DESC LIMIT 1)
             SELECT e.* FROM e, cut WHERE e.day >= cut.day""",
+        "streaming_rollup_30m": f"""
+            SELECT event_type AS series, {b30} AS bucket_ts, {_AGG_SQL}
+            FROM events GROUP BY 1, 2""",
         "legacy_v1_read": rf"""
             WITH raw AS (
               SELECT Datetime AS datetime, round(Value, 6) AS value,

@@ -37,7 +37,18 @@ def construct_reference_year_mapping(
     """Cycle a list of historical reference years over a modeled horizon
     (reference construct_reference_year_mapping.py:6-38): model year
     ``start + i`` maps to ``reference_years[i % len(reference_years)]``.
+    Validated like the reference's @validate_call surface
+    (get_data.py:7, tests/test_input_validation.py:166-178).
     """
+    from isp_trace_parser_spark.input_validation import (
+        start_year_before_end_year,
+    )
+
+    start_year_before_end_year(start, end)
+    if not reference_years or not all(
+        isinstance(y, int) and not isinstance(y, bool) for y in reference_years
+    ):
+        raise ValueError("reference_years must be a non-empty list of ints")
     mapping = {}
     for i, year in enumerate(range(start, end + 1)):
         mapping[year] = reference_years[i % len(reference_years)]

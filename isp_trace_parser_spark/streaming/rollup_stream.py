@@ -18,12 +18,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sum(value_col: str, sum_cast: str | None):
+    c = F.col(value_col)
+    return F.sum(c.cast(sum_cast) if sum_cast else c)
+
+
 def streaming_rollup_30m(
     stream: DataFrame,
     series_col: str = "url",
     ts_col: str = "warc_ts",
     value_col: str = "value",
     watermark: str = "1 hour",
+    sum_cast: str | None = None,
 ) -> DataFrame:
     """Streaming 30m tier: tumbling window + watermark.
 
@@ -48,10 +54,15 @@ def streaming_rollup_30m(
             ),
         )
         .agg(
-            F.avg(value_col).alias("avg_value"),
+            # sum_cast (e.g. decimal) mirrors operators.rollup._sum_expr:
+            # exact order-independent sums so streamed partials hash
+            # identically to batch/oracle results
+            (_sum(value_col, sum_cast).cast("double") / F.count(value_col)).alias(
+                "avg_value"
+            ),
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
-            F.sum(value_col).alias("sum_value"),
+            _sum(value_col, sum_cast).alias("sum_value"),
             F.count(value_col).alias("cnt_value"),
         )
         .select(

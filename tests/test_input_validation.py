@@ -137,6 +137,22 @@ def test_year_type():
         V.validate_year_type("financial")
 
 
+def test_construct_reference_year_mapping_validation():
+    from isp_trace_parser_spark.plans.windows import (
+        construct_reference_year_mapping,
+    )
+
+    assert construct_reference_year_mapping(2030, 2032, [2011, 2013]) == {
+        2030: 2011, 2031: 2013, 2032: 2011,
+    }
+    with pytest.raises(ValueError, match="Start year"):
+        construct_reference_year_mapping(2032, 2030, [2011])
+    with pytest.raises(ValueError, match="non-empty list of ints"):
+        construct_reference_year_mapping(2030, 2032, [])
+    with pytest.raises(ValueError, match="non-empty list of ints"):
+        construct_reference_year_mapping(2030, 2032, ["2011"])
+
+
 def test_reference_year_mapping():
     V.validate_reference_year_mapping({2024: 2011})
     with pytest.raises(ValueError, match="non-empty"):
