@@ -129,10 +129,20 @@ def run_rollup_pipeline(
     now: datetime.datetime | None = None,
     encode_blocks: bool = True,
     block_size: str = "7 days",
+    bucketed_tiers: bool = False,
+    tier_buckets: int = 16,
 ) -> PipelineResult:
     """``block_size``: Gorilla block span. Weekly blocks (336 half-hour
     points) amortize per-block overhead and compress better than daily
     (48-point) blocks; choose by tier resolution x target points/block.
+
+    ``bucketed_tiers``: persist agg_30m/agg_1d as series-bucketed
+    catalog tables (Catalog.write_bucketed) while keeping the day/month
+    hive partitioning and the partition-granular dynamic overwrite.
+    Downstream reads then run groupBy/window/join on the series key
+    with ZERO exchanges (docs/DESIGN.md). Off by default: identical
+    results either way (tests/test_pipeline.py pins parity), flip on
+    when the tier tables are query-serving hot paths.
     """
     res = PipelineResult()
 
@@ -164,19 +174,32 @@ def run_rollup_pipeline(
                 days = expand_days(changed) if expand_days else changed
                 src = src.where(F.col(in_col).isin(days))
         out = build(src)
-        snap = cat.write(
-            out,
-            name,
-            partition_by=partition_by,
-            sort_within=sort_within,
-            mode="dynamic" if partition_by else "overwrite",
-            lineage={
-                "stage": name,
-                "input_table": in_table,
-                "input_state": in_state,
-                "recomputed_partitions": changed,
-            },
-        )
+        lineage = {
+            "stage": name,
+            "input_table": in_table,
+            "input_state": in_state,
+            "recomputed_partitions": changed,
+        }
+        if bucketed_tiers and partition_by:
+            snap = cat.write_bucketed(
+                out,
+                name,
+                bucket_by=["series"],
+                n_buckets=tier_buckets,
+                sort_by=sort_within,
+                partition_by=partition_by,
+                mode="dynamic" if cat.exists(name) else "overwrite",
+                lineage=lineage,
+            )
+        else:
+            snap = cat.write(
+                out,
+                name,
+                partition_by=partition_by,
+                sort_within=sort_within,
+                mode="dynamic" if partition_by else "overwrite",
+                lineage=lineage,
+            )
         res.metrics[name] = {"files": snap["files"], "bytes": snap["bytes"]}
         res.stages_run.append(name)
 

@@ -92,60 +92,107 @@ class Catalog:
         bucket_by: list[str],
         n_buckets: int,
         sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
         mode: str = "overwrite",
         lineage: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Hash-bucketed, per-bucket-sorted table (Iceberg
         ``bucket(N, col)`` partition-transform analog via Spark
-        bucketing). Reading it back gives scans whose output is already
-        HashPartitioning(bucket_by) — every downstream groupBy / window
-        / join keyed on (a superset of) ``bucket_by`` runs with ZERO
-        exchanges, which at 100 TB removes the dominant shuffle of the
-        tier cascade and the gap-fill window (pinned by
-        tests/test_plans.py). ``mode='overwrite'`` replaces the table
-        (snapshot history restarts, like an Iceberg REPLACE TABLE)."""
+        bucketing), optionally hive-partitioned on top. Reading it back
+        gives scans whose output is already HashPartitioning(bucket_by)
+        — every downstream groupBy / window / join keyed on (a superset
+        of) ``bucket_by`` runs with ZERO exchanges, which at 100 TB
+        removes the dominant shuffle of the tier cascade and the
+        gap-fill window (pinned by tests/test_plans.py).
+
+        ``mode='overwrite'`` replaces the table (snapshot history
+        restarts, like an Iceberg REPLACE TABLE). ``mode='dynamic'``
+        (requires ``partition_by`` and an existing table) replaces only
+        the hive partitions present in ``df`` via ``insertInto`` under
+        dynamic partitionOverwriteMode — the incremental-pipeline write
+        path, now with bucketing preserved."""
         ident = self._ident(name)
         path = self.table_path(name)
-        writer = df.write.format("parquet").bucketBy(n_buckets, *bucket_by)
-        if sort_by:
-            writer = writer.sortBy(*sort_by)
-        writer.option("path", path).mode(mode).saveAsTable(ident)
+        spec = {
+            "bucket_by": bucket_by,
+            "n_buckets": n_buckets,
+            "sort_by": sort_by or [],
+            "partition_by": partition_by or [],
+        }
+        if mode == "dynamic":
+            if not partition_by:
+                raise ValueError("dynamic mode requires partition_by")
+            if not self.spark.catalog.tableExists(ident):
+                self.register_bucketed(name)
+            prev = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                # insertInto is positional: partition cols go last
+                cols = self.spark.table(ident).columns
+                df.select(*cols).write.mode("overwrite").insertInto(ident)
+            finally:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        else:
+            writer = df.write.format("parquet")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer = writer.bucketBy(n_buckets, *bucket_by)
+            if sort_by:
+                writer = writer.sortBy(*sort_by)
+            writer.option("path", path).mode(mode).saveAsTable(ident)
         return self.commit_snapshot(
             name,
             operation=f"write_bucketed:{mode}",
-            partition_by=[],
+            partition_by=partition_by or [],
             lineage=lineage or {},
-            extra={
-                "bucket_spec": {
-                    "bucket_by": bucket_by,
-                    "n_buckets": n_buckets,
-                    "sort_by": sort_by or [],
-                }
-            },
+            extra={"bucket_spec": spec},
         )
 
     def register_bucketed(self, name: str) -> None:
         """Re-attach a bucketed table in a fresh SparkSession from its
         on-disk files + the snapshot's bucket spec (external
-        ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL)."""
+        ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL; partitioned
+        tables get their partition list recovered with MSCK REPAIR)."""
         spec = self._bucket_spec(name)
         if spec is None:
             raise ValueError(f"{name} has no bucket_spec snapshot")
         path = self.table_path(name)
-        schema = self.spark.read.parquet(path).schema
-        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+        part_by = spec.get("partition_by") or []
+        schema = (
+            self.spark.read.option("basePath", path).parquet(path).schema
+        )
+        data_cols = [f for f in schema if f.name not in part_by]
+        part_cols = [f for f in schema if f.name in part_by]
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in data_cols + part_cols
+        )
+        part_clause = (
+            "PARTITIONED BY (" + ", ".join(f"`{c}`" for c in part_by) + ")"
+            if part_by
+            else ""
+        )
         sort_clause = (
             "SORTED BY (" + ", ".join(f"`{c}`" for c in spec["sort_by"]) + ")"
             if spec["sort_by"]
             else ""
         )
+        ident = self._ident(name)
         self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self._ident(name)} ({cols}) "
-            f"USING parquet "
+            f"CREATE TABLE IF NOT EXISTS {ident} ({cols}) "
+            f"USING parquet {part_clause} "
             f"CLUSTERED BY ({', '.join(f'`{c}`' for c in spec['bucket_by'])}) "
             f"{sort_clause} INTO {spec['n_buckets']} BUCKETS "
             f"LOCATION '{path}'"
         )
+        if part_by:
+            self.spark.sql(f"MSCK REPAIR TABLE {ident}")
 
     def write(
         self,
@@ -306,9 +353,22 @@ class Catalog:
         surviving data — at 100 TB retention must never touch live rows.
         """
         path = self.table_path(name)
+        # bucketed (session-catalog) tables track partitions in catalog
+        # metadata — drop through DDL so listing stays consistent, then
+        # remove the files (external table: DROP PARTITION keeps data)
+        ident = self._ident(name)
+        is_catalog_table = (
+            self._bucket_spec(name) is not None
+            and self.spark.catalog.tableExists(ident)
+        )
         dropped = []
         for v in values:
             pdir = os.path.join(path, f"{partition_col}={v}")
+            if is_catalog_table:
+                self.spark.sql(
+                    f"ALTER TABLE {ident} DROP IF EXISTS "
+                    f"PARTITION (`{partition_col}` = '{v}')"
+                )
             if os.path.exists(pdir):
                 shutil.rmtree(pdir)
                 dropped.append(v)
