@@ -447,11 +447,11 @@ def q_jaccard_pairs(spark, sf_dir):
     from isp_trace_parser_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    # df-cap = 40% of the corpus: exercises the skew guard (drops
-    # corpus-wide tokens before the self-join) with the oracle applying
-    # the identical rule
-    n_docs = 200
-    out = ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=n_docs)
+    # df-cap = 80% of the corpus: exercises the skew guard (drops
+    # corpus-wide tokens before the self-join; the synth vocabulary is
+    # tiny and zipfian, so a harsher cap would empty the token sets)
+    # with the oracle applying the identical rule
+    out = ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=400)
     return out.select("d1", "d2", _q("jaccard", 4).alias("jaccard"))
 
 
@@ -710,6 +710,22 @@ def q_streaming_rollup_30m(spark, sf_dir):
     return _round_aggs(spark.table(qname))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components (iterative min-label propagation with
+    localCheckpoint lineage truncation) over the df-capped jaccard pair
+    graph, vs a DuckDB WITH RECURSIVE transitive-closure oracle —
+    cluster_id = min doc id reachable through near-dup edges."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, max_doc_freq=400)
+    return dedup_clusters(pairs)
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -759,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
         "legacy_v1_read": q_legacy_v1_read,
         "streaming_rollup_30m": q_streaming_rollup_30m,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -943,7 +960,7 @@ def oracle_sql() -> dict[str, str]:
             tok1 AS (SELECT * FROM tok WHERE tok <> ''),
             dfreq AS (SELECT tok, count(*) AS df FROM tok1 GROUP BY 1),
             tok2 AS (SELECT tok1.* FROM tok1 JOIN dfreq USING (tok)
-                     WHERE dfreq.df <= 200),
+                     WHERE dfreq.df <= 400),
             sz AS (SELECT doc_id, count(*) n FROM tok2 GROUP BY 1),
             inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i
                       FROM tok2 a JOIN tok2 b USING (tok)
@@ -1064,6 +1081,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(regexp_extract(parts[-1], '^RefYear(\d{{4}})_', 1) AS INTEGER)
                      AS reference_year
             FROM raw""",
+        "dedup_clusters": r"""
+            WITH RECURSIVE tok AS (SELECT DISTINCT doc_id,
+                                unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+                         FROM documents),
+            tok1 AS (SELECT * FROM tok WHERE tok <> ''),
+            dfreq AS (SELECT tok, count(*) AS df FROM tok1 GROUP BY 1),
+            tok2 AS (SELECT tok1.* FROM tok1 JOIN dfreq USING (tok)
+                     WHERE dfreq.df <= 400),
+            sz AS (SELECT doc_id, count(*) n FROM tok2 GROUP BY 1),
+            inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i
+                      FROM tok2 a JOIN tok2 b USING (tok)
+                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT d1, d2 FROM inter
+                      JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+                      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+            edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+            reach(a, b) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""",
         # minhash_lsh_pairs / simhash_fingerprints / ann_* /
         # embedding_near_dups / doc_fingerprints / frame_sample_plan /
         # media_features: hash- or approximation-based — not expressible

@@ -14,6 +14,11 @@ Five strategies, each chosen for a different scale/recall point:
   Hamming distance; grouped by rotated prefix buckets.
 - embedding cosine: near-dup by vector similarity (see similarity.py).
 
+Plus the post-pairing step every dedup pipeline needs:
+``dedup_clusters`` (connected components via iterative min-label
+propagation) and ``dedup_keep_canonical`` (one min-id document per
+cluster, anti-joined on slim keys).
+
 All heavy lifting is either JVM-side (tokenize/explode/join/agg) or
 Arrow-batched numpy (signatures). No per-row Python.
 """
@@ -334,3 +339,78 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+# ----------------------------------------------------- dedup clustering
+def dedup_clusters(
+    pairs: DataFrame,
+    id1: str = "d1",
+    id2: str = "d2",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair list ->
+    ``(doc_id, cluster_id)`` where cluster_id is the component's
+    minimum doc id — the canonical-document selection step every dedup
+    pipeline needs after candidate pairing.
+
+    Iterative min-label propagation (the standard large-graph CC
+    algorithm on Spark): each round every node takes the min of its own
+    label and its neighbors' labels; converges in graph-diameter
+    rounds. Near-dup graphs are unions of small cliques, so diameter is
+    tiny in practice. Each round is one co-partitioned join + agg on
+    the node key; ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1 (the classic iterative-Spark
+    trap). Convergence is detected by the (monotonically decreasing)
+    sum of labels going stable — one cheap agg per round instead of an
+    anti-join of old vs new labels.
+    """
+    edges = pairs.select(
+        F.col(id1).cast("long").alias("a"), F.col(id2).cast("long").alias("b")
+    )
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter a corpus to one canonical document per near-dup cluster
+    (the min-id member); documents in no pair pass through untouched.
+    Anti-join on the slim (doc_id) key — the corpus' heavy text/payload
+    columns never enter the clustering shuffles."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

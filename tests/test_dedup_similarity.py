@@ -187,3 +187,31 @@ def test_embedding_near_dup_pairs(spark):
     got = {tuple(sorted((r.d1, r.d2))) for r in pairs.itertuples()}
     for i in range(5):
         assert (i, 100 + i) in got
+
+
+def test_dedup_clusters_known_graph(spark):
+    """Chain, triangle, pair, isolated: min-label propagation must find
+    exact components (chain forces multi-round propagation)."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"d1": [1, 2, 3, 10, 10, 11, 20],
+                      "d2": [2, 3, 4, 11, 12, 12, 21]})
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_canonical(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"d1": [1, 2, 10], "d2": [2, 3, 11]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 99], "text": ["x"] * 6})
+    )
+    keep = sorted(
+        r["doc_id"] for r in dedup.dedup_keep_canonical(docs, pairs).collect()
+    )
+    # one canonical per cluster (min id), isolated doc passes through
+    assert keep == [1, 10, 99]
