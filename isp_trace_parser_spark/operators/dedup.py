@@ -171,6 +171,10 @@ def minhash_signatures(
     a, b, p = _minhash_params(num_perm, seed)
 
     def _sig(texts: pd.Series) -> pd.Series:
+        # per-doc (num_perm, n_shingles) hash matrix: measured faster
+        # than batching docs into one big matrix (the ~2 MB per-doc
+        # working set stays in cache; a 64 MB multi-doc matrix thrashes
+        # it), and numpy's uint64 remainder is already vectorized
         out = []
         for t in texts:
             raw = (t or "").encode()
@@ -195,6 +199,12 @@ def minhash_signatures(
         return pd.Series(out)
 
     sig_udf = F.pandas_udf(_sig, ArrayType(LongType()))
+    # the signature pass is the CPU of the whole LSH pipeline; a source
+    # laid out in few files (one parquet file = one partition) would
+    # otherwise run it on a fraction of the cluster
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     return df.select("doc_id", sig_udf(F.col(text_col)).alias("signature"))
 
 
