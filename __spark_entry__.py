@@ -726,6 +726,23 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_parse_csv_filtered(spark, sf_dir):
+    """P5 directly: the parse pipeline with a metadata pre-filter
+    ({resource_type: wind}) — Catalyst folds the broadcast-joined dim
+    predicate into the scan side; oracle applies the same WHERE."""
+    _prep(spark)
+    from isp_trace_parser_spark.parse import parse_traces_df
+
+    out = parse_traces_df(
+        spark, _AEMO_FIXTURE_DIR, _AEMO_MAPPING,
+        filters={"resource_type": "wind"},
+    )
+    return out.select(
+        "datetime", _q("value", 6).alias("value"), "entity", "entity_type",
+        "resource_type", "parent", "reference_year",
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -776,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_v1_read": q_legacy_v1_read,
         "streaming_rollup_30m": q_streaming_rollup_30m,
         "dedup_clusters": q_dedup_clusters,
+        "parse_csv_filtered": q_parse_csv_filtered,
     }
 
 
@@ -1109,4 +1127,9 @@ def oracle_sql() -> dict[str, str]:
         # as engine-portable ANSI SQL; the driver records rows-only checks
         # and the pytest suite holds their ground-truth assertions.
     }
+    # P5 variant: identical parse oracle with the metadata pre-filter
+    sqls["parse_csv_filtered"] = sqls["parse_csv_to_long"].replace(
+        "FROM long GROUP BY ALL",
+        "FROM long WHERE resource_type = 'wind' GROUP BY ALL",
+    )
     return {k: _rewrite_rounds(v) for k, v in sqls.items()}
