@@ -743,6 +743,33 @@ def q_parse_csv_filtered(spark, sf_dir):
     )
 
 
+def q_topk_per_group(spark, sf_dir):
+    """§2.7 depth: top-3 documents per predicted language by quality
+    score — rank window over a derived grouping, deterministic
+    tie-break on doc_id. The per-group window shuffles once on the
+    group key; no global sort."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from isp_trace_parser_spark.functions.extract import language_id
+    from isp_trace_parser_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_pred"),
+        _q(quality_score(F.col("text")), 4).alias("quality"),
+    )
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("lang_pred", "rk", "doc_id", "quality")
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -794,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup_30m": q_streaming_rollup_30m,
         "dedup_clusters": q_dedup_clusters,
         "parse_csv_filtered": q_parse_csv_filtered,
+        "topk_per_group": q_topk_per_group,
     }
 
 
@@ -1127,6 +1155,16 @@ def oracle_sql() -> dict[str, str]:
         # as engine-portable ANSI SQL; the driver records rows-only checks
         # and the pytest suite holds their ground-truth assertions.
     }
+    # §2.7 top-k per group: composed from the lang_id and quality_score
+    # oracles (rank over the 4dp-quantized score, doc_id tie-break)
+    sqls["topk_per_group"] = f"""
+        WITH lp AS ({sqls["lang_id"]}), q AS ({sqls["quality_score"]})
+        SELECT lang_pred, rk, doc_id, quality FROM (
+          SELECT lp.lang_pred, q.doc_id, q.quality,
+                 row_number() OVER (PARTITION BY lang_pred
+                                    ORDER BY quality DESC, q.doc_id) AS rk
+          FROM lp JOIN q USING (doc_id)
+        ) t WHERE rk <= 3"""
     # P5 variant: identical parse oracle with the metadata pre-filter
     sqls["parse_csv_filtered"] = sqls["parse_csv_to_long"].replace(
         "FROM long GROUP BY ALL",
