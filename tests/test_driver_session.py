@@ -42,7 +42,13 @@ for t in ["events", "documents", "embeddings", "lineitem"]:
 oracles = em.oracle_sql()
 queries = em.queries()
 for name in ["rollup_30m", "rollup_1mo", "window_fy", "gapfill_30m",
-             "gorilla_codec_roundtrip", "lag_delta", "text_stats"]:
+             "gorilla_codec_roundtrip", "lag_delta", "text_stats",
+             # session-sensitive round-2 rows: CSV make_timestamp (tz),
+             # streaming ltz casts, sink date_format, CC iteration,
+             # filename decode
+             "parse_csv_to_long", "streaming_rollup_30m",
+             "partitioned_sink_roundtrip", "dedup_clusters",
+             "legacy_v1_read", "topk_per_group"]:
     got = queries[name](spark, "/root/testdata/sf0.01").toPandas()
     want = con.execute(oracles[name]).df()
     assert len(got) == len(want), (name, len(got), len(want))
