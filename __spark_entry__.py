@@ -770,6 +770,30 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_optimise_relayout(spark, sf_dir):
+    """Storage re-layout (reference optimise_parquet.py:21-95) as one
+    declarative write: events re-partitioned by event_type with rows
+    ts-sorted inside each partition, then read back — the readback must
+    equal the source exactly (relayout loses nothing, adds nothing)."""
+    _prep(spark)
+    import tempfile
+
+    from isp_trace_parser_spark.operators.optimise import (
+        partition_traces_by_columns,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="optim_") + "/events_by_type"
+    partition_traces_by_columns(
+        spark, f"{sf_dir}/events.parquet", out_dir,
+        partition_cols=["event_type"], sort_by=["ts", "event_id"],
+    )
+    back = spark.read.option("basePath", out_dir).parquet(out_dir)
+    return back.select(
+        "user_id", "event_id", "ts", _q("value", 4).alias("value"),
+        "event_type",
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -822,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "parse_csv_filtered": q_parse_csv_filtered,
         "topk_per_group": q_topk_per_group,
+        "optimise_relayout": q_optimise_relayout,
     }
 
 
@@ -1149,6 +1174,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
             )
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""",
+        "optimise_relayout": """
+            SELECT user_id, event_id, ts, round(value, 4) AS value,
+                   event_type
+            FROM events""",
         # minhash_lsh_pairs / simhash_fingerprints / ann_* /
         # embedding_near_dups / doc_fingerprints / frame_sample_plan /
         # media_features: hash- or approximation-based — not expressible
