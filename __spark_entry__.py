@@ -794,6 +794,18 @@ def q_optimise_relayout(spark, sf_dir):
     )
 
 
+def q_value_histogram(spark, sf_dir):
+    """Exact equi-width histogram per event_type (integer bin math — no
+    float boundary ambiguity): two-key groupBy, map-side partials."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / F.lit(10.0)).cast("int")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -847,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_csv_filtered": q_parse_csv_filtered,
         "topk_per_group": q_topk_per_group,
         "optimise_relayout": q_optimise_relayout,
+        "value_histogram": q_value_histogram,
     }
 
 
@@ -1178,6 +1191,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts, round(value, 4) AS value,
                    event_type
             FROM events""",
+        "value_histogram": """
+            SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2""",
         # minhash_lsh_pairs / simhash_fingerprints / ann_* /
         # embedding_near_dups / doc_fingerprints / frame_sample_plan /
         # media_features: hash- or approximation-based — not expressible
