@@ -806,6 +806,48 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_streaming_gapfill_30m(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState
+    forward-fill) vs the SAME DuckDB oracle as the batch gap-fill: the
+    streamed per-series grid emission must reproduce the batch
+    densify+ffill exactly (state = last emitted slot + last value)."""
+    _prep(spark)
+    import tempfile
+    import uuid
+
+    from isp_trace_parser_spark.streaming.stateful_ffill import (
+        stateful_gap_fill_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    # the stateful op keys state on a string series (url at scale);
+    # cast the int user_id on BOTH sides (oracle mirrors with VARCHAR)
+    t30 = ev.groupBy(
+        F.col("user_id").cast("string").alias("series"),
+        bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+         / F.count("value")).alias("value")
+    )
+    src = tempfile.mkdtemp(prefix="ffill_src_")
+    t30.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    qname = f"ffill_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_gap_fill_stream(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckff_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        "series", "bucket_ts", _q("value", 4).alias("value"), "is_filled"
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -860,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "optimise_relayout": q_optimise_relayout,
         "value_histogram": q_value_histogram,
+        "streaming_gapfill_30m": q_streaming_gapfill_30m,
     }
 
 
@@ -1211,6 +1254,11 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY quality DESC, q.doc_id) AS rk
           FROM lp JOIN q USING (doc_id)
         ) t WHERE rk <= 3"""
+    # the stateful streaming forward-fill answers the batch oracle
+    # (series cast to VARCHAR to match the op's string state key)
+    sqls["streaming_gapfill_30m"] = sqls["gapfill_30m"].replace(
+        "SELECT user_id AS series", "SELECT CAST(user_id AS VARCHAR) AS series"
+    )
     # P5 variant: identical parse oracle with the metadata pre-filter
     sqls["parse_csv_filtered"] = sqls["parse_csv_to_long"].replace(
         "FROM long GROUP BY ALL",
