@@ -1238,6 +1238,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS bin,
                    count(*) AS n
             FROM events GROUP BY 1, 2""",
+        # frame_sample_plan: the plan is a pure function of the synth
+        # metadata (kind = id%3 -> video, duration = (id%30+1)s), so the
+        # oracle recomputes it from the same formulas
+        "frame_sample_plan": """
+            WITH m AS (SELECT i AS media_id, (i % 30 + 1) * 1000 AS duration_ms
+                       FROM range(128) t(i) WHERE i % 3 = 2)
+            SELECT media_id,
+                   CAST(unnest(generate_series(0, duration_ms - 1, 1000)) AS INTEGER)
+                     AS frame_ts_ms
+            FROM m""",
         # minhash_lsh_pairs / simhash_fingerprints / ann_* /
         # embedding_near_dups / doc_fingerprints / frame_sample_plan /
         # media_features: hash- or approximation-based — not expressible
