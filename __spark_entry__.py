@@ -848,6 +848,30 @@ def q_streaming_gapfill_30m(spark, sf_dir):
     )
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of: EARLIEST purchase at-or-after each view — the
+    reversed-scan variant of the union+window plan; oracle is DuckDB's
+    native ASOF LEFT JOIN with the <= comparison."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("series"), "ts", F.col("value").alias("lv")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("series"), "ts", F.col("value").alias("pv")
+    )
+    out = asof_join(
+        views, purchases, on="series", right_values=["pv"],
+        direction="forward",
+    )
+    return out.select(
+        "series", "ts", _q("lv", 4).alias("lv"),
+        F.col("ts_right"), _q("pv_right", 4).alias("pv_right"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -903,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimise_relayout": q_optimise_relayout,
         "value_histogram": q_value_histogram,
         "streaming_gapfill_30m": q_streaming_gapfill_30m,
+        "asof_join_forward": q_asof_join_forward,
     }
 
 
@@ -1077,6 +1102,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
               ON v.user_id = p.user_id AND v.ts >= p.ts""",
+        "asof_join_forward": """
+            SELECT v.user_id AS series, v.ts, round(v.value, 4) AS lv,
+                   p.ts AS ts_right, round(p.value, 4) AS pv_right
+            FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+              ON v.user_id = p.user_id AND v.ts <= p.ts""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY text""",

@@ -34,15 +34,31 @@ def asof_join(
     right_values: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row: the latest right row with
-    ``right.ts <= left.ts`` in the same ``on`` group.
+    """For every left row: the matching right row in the same ``on``
+    group, by ``direction`` (pandas merge_asof semantics):
+
+    - ``backward`` (default): latest right with ``right.ts <= left.ts``;
+    - ``forward``: earliest right with ``right.ts >= left.ts`` (the same
+      union+window plan with the scan order reversed);
+    - ``nearest``: whichever of the two is closer in time (tie ->
+      backward). Composed from both directional passes — still one
+      shuffle: both windows share the same partitioning, so Catalyst
+      reuses the exchange.
 
     Returns left columns + ``<value><suffix>`` for each of
     ``right_values`` + ``ts<suffix>`` (the matched right timestamp,
-    NULL when no right row precedes the left row or the match is older
-    than ``tolerance_seconds``).
+    NULL when no right row matches in-direction or the match violates
+    ``tolerance_seconds``).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, right_values,
+            tolerance_seconds, suffix,
+        )
     right_values = right_values or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -66,10 +82,14 @@ def asof_join(
     merged = lt2.unionByName(rt.select(*lt2.columns))
 
     # right rows sort BEFORE left rows at equal ts (_side 0 < 1), so a
-    # right row exactly at the left ts is eligible (<= semantics)
+    # right row exactly at the left ts is eligible (<=/>= semantics);
+    # forward direction = the same linear scan over the reversed stream
+    ts_order = (
+        F.col(left_ts).asc() if direction == "backward" else F.col(left_ts).desc()
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(left_ts).asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
@@ -82,7 +102,9 @@ def asof_join(
     )
     out = carried.where(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        fresh = (
+        # matched ts is on the correct side by construction, so the
+        # absolute gap works for both directions
+        fresh = F.abs(
             F.unix_micros(F.col(left_ts).cast("timestamp_ltz"))
             - F.unix_micros(F.col("_m_ts").cast("timestamp_ltz"))
         ) <= tolerance_seconds * 1_000_000
@@ -100,3 +122,71 @@ def asof_join(
         ],
     )
     return sel
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str] | None,
+    tolerance_seconds: int | None,
+    suffix: str,
+) -> DataFrame:
+    """nearest = min(|gap|) of the backward and forward matches, tie ->
+    backward. Joined back on the left row identity (on, left_ts) plus a
+    per-duplicate disambiguator is unnecessary: both passes preserve the
+    left rows 1:1, so a positional combine via the same key columns and
+    a row_number within duplicates keeps exact row multiplicity."""
+    right_values = right_values or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    b = asof_join(
+        left, right, on, left_ts, right_ts, right_values,
+        tolerance_seconds, suffix, direction="backward",
+    )
+    f = asof_join(
+        left, right, on, left_ts, right_ts, right_values,
+        tolerance_seconds, suffix, direction="forward",
+    )
+    w = Window.partitionBy(on, left_ts).orderBy(*[
+        F.col(c) for c in left.columns if c not in (on, left_ts)
+    ])
+    bk = b.withColumn("_rn", F.row_number().over(w))
+    fw = f.withColumn("_rn", F.row_number().over(w)).select(
+        F.col(on).alias("_on"),
+        F.col(left_ts).alias("_lts"),
+        F.col("_rn").alias("_rn2"),
+        F.col(f"ts{suffix}").alias("_f_ts"),
+        *[F.col(f"{c}{suffix}").alias(f"_f_{c}") for c in right_values],
+    )
+    j = bk.join(
+        fw,
+        (F.col(on) == F.col("_on"))
+        & (F.col(left_ts) == F.col("_lts"))
+        & (F.col("_rn") == F.col("_rn2")),
+    )
+    lgap = F.abs(
+        F.unix_micros(F.col(left_ts).cast("timestamp_ltz"))
+        - F.unix_micros(F.col(f"ts{suffix}").cast("timestamp_ltz"))
+    )
+    rgap = F.abs(
+        F.unix_micros(F.col(left_ts).cast("timestamp_ltz"))
+        - F.unix_micros(F.col("_f_ts").cast("timestamp_ltz"))
+    )
+    use_fwd = F.col(f"ts{suffix}").isNull() | (
+        F.col("_f_ts").isNotNull() & (rgap < lgap)
+    )
+    return j.select(
+        *left.columns,
+        F.when(use_fwd, F.col("_f_ts")).otherwise(F.col(f"ts{suffix}")).alias(
+            f"ts{suffix}"
+        ),
+        *[
+            F.when(use_fwd, F.col(f"_f_{c}")).otherwise(F.col(f"{c}{suffix}")).alias(
+                f"{c}{suffix}"
+            )
+            for c in right_values
+        ],
+    )

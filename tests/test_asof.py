@@ -108,3 +108,72 @@ def test_asof_tolerance(spark, frames):
     nan = got["price_right"].isna() & want["price_right"].isna()
     assert (nan | (got["price_right"] == want["price_right"])).all()
     assert got["price_right"].isna().sum() > 0  # tolerance actually bites
+
+
+def _oracle_dir(left, right, direction, tolerance=None):
+    kw = {"by": "series", "on": "ts", "direction": direction}
+    if tolerance is not None:
+        kw["tolerance"] = pd.Timedelta(seconds=tolerance)
+    return pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(
+            columns={"price": "price_right"}
+        ),
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_directions_match_pandas(spark, frames, direction):
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            right_values=["price"],
+            direction=direction,
+        )
+        .toPandas()
+        .sort_values(["series", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle_dir(left, right, direction)
+        .sort_values(["series", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(left)
+    nan = got["price_right"].isna() & want["price_right"].isna()
+    assert (nan | (got["price_right"] == want["price_right"])).all(), direction
+
+
+def test_asof_forward_tolerance(spark, frames):
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            right_values=["price"],
+            direction="forward",
+            tolerance_seconds=1800,
+        )
+        .toPandas()
+        .sort_values(["series", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle_dir(left, right, "forward", tolerance=1800)
+        .sort_values(["series", "ts"])
+        .reset_index(drop=True)
+    )
+    nan = got["price_right"].isna() & want["price_right"].isna()
+    assert (nan | (got["price_right"] == want["price_right"])).all()
+
+
+def test_asof_bad_direction(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            direction="sideways",
+        )
