@@ -150,9 +150,11 @@ def _asof_nearest(
         left, right, on, left_ts, right_ts, right_values,
         tolerance_seconds, suffix, direction="forward",
     )
-    w = Window.partitionBy(on, left_ts).orderBy(*[
-        F.col(c) for c in left.columns if c not in (on, left_ts)
-    ])
+    extra_cols = [c for c in left.columns if c not in (on, left_ts)]
+    # a (key, ts)-only left frame still needs a valid (constant) order:
+    # duplicate rows are then interchangeable, so any pairing is correct
+    order_cols = [F.col(c) for c in extra_cols] or [F.lit(1)]
+    w = Window.partitionBy(on, left_ts).orderBy(*order_cols)
     bk = b.withColumn("_rn", F.row_number().over(w))
     fw = f.withColumn("_rn", F.row_number().over(w)).select(
         F.col(on).alias("_on"),

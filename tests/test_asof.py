@@ -177,3 +177,16 @@ def test_asof_bad_direction(spark, frames):
             spark.createDataFrame(left), spark.createDataFrame(right),
             direction="sideways",
         )
+
+
+def test_asof_nearest_keys_only_left(spark, frames):
+    _, right = frames
+    left = pd.DataFrame(
+        {"series": ["a", "a"], "ts": pd.to_datetime(["2024-01-01 01:00"] * 2)}
+    )
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        right_values=["price"], direction="nearest",
+    ).toPandas()
+    assert len(got) == 2  # duplicate key+ts rows preserved 1:1
+    assert got["price_right"].notna().all()
