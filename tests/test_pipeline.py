@@ -192,3 +192,25 @@ def test_bucketed_tiers_parity_and_plan(spark, tmp_path):
         .sort_values(["series", "bucket_ts"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(day1, day1_before)
+
+
+def test_partitioned_bucketed_reregister(spark, tmp_path):
+    """Fresh-session recovery of a PARTITIONED + BUCKETED tier table:
+    read() must recreate it via CREATE ... PARTITIONED BY ... CLUSTERED
+    BY ... LOCATION + MSCK REPAIR, with row parity and 0-exchange
+    series aggregation."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "wh_rr"))
+    ingest_pages(
+        cat, synth.pages(spark, n_urls=10, n_slots=48 * 3, gap_pct=0),
+        n_buckets=2,
+    )
+    run_rollup_pipeline(spark, cat, bucketed_tiers=True, tier_buckets=4,
+                        encode_blocks=False)
+    n1 = cat.read("agg_30m").count()
+    spark.sql(f"DROP TABLE {cat._ident('agg_30m')}")  # fresh-session sim
+    back = cat.read("agg_30m")
+    assert back.count() == n1
+    agg = back.groupBy("series").agg(F.sum("cnt_value").alias("n"))
+    assert agg._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
