@@ -82,17 +82,21 @@ def decode_ppm(data: bytes) -> np.ndarray:
     # header = magic + 3 ascii ints separated by whitespace (comments
     # with '#' allowed per spec), then ONE whitespace byte, then raster
     tokens: list[int] = []
-    i = 2
+    i, n = 2, len(data)
     while len(tokens) < 3:
-        while data[i : i + 1].isspace():
+        while i < n and data[i : i + 1].isspace():
             i += 1
+        if i >= n:
+            raise ValueError("truncated PPM/PGM header")
         if data[i : i + 1] == b"#":
-            while data[i : i + 1] not in (b"\n", b""):
+            while i < n and data[i : i + 1] != b"\n":
                 i += 1
             continue
         j = i
-        while not data[j : j + 1].isspace():
+        while j < n and not data[j : j + 1].isspace():
             j += 1
+        if j >= n:
+            raise ValueError("truncated PPM/PGM header")
         tokens.append(int(data[i:j]))
         i = j
     i += 1  # the single whitespace after maxval

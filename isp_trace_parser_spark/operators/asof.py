@@ -101,6 +101,10 @@ def asof_join(
         ],
     )
     out = carried.where(F.col("_side") == 1)
+    # a NULL key or NULL timestamp has no defined as-of position: such
+    # left rows pass through with NULL match columns, identically in
+    # every direction (pandas merge_asof rejects them outright)
+    definable = F.col(on).isNotNull() & F.col(left_ts).isNotNull()
     if tolerance_seconds is not None:
         # matched ts is on the correct side by construction, so the
         # absolute gap works for both directions
@@ -108,9 +112,9 @@ def asof_join(
             F.unix_micros(F.col(left_ts).cast("timestamp_ltz"))
             - F.unix_micros(F.col("_m_ts").cast("timestamp_ltz"))
         ) <= tolerance_seconds * 1_000_000
-        out = out.withColumn("_fresh", fresh)
+        out = out.withColumn("_fresh", definable & fresh)
     else:
-        out = out.withColumn("_fresh", F.lit(True))
+        out = out.withColumn("_fresh", definable)
 
     keep = [c for c in left.columns]
     sel = out.select(
@@ -163,10 +167,13 @@ def _asof_nearest(
         F.col(f"ts{suffix}").alias("_f_ts"),
         *[F.col(f"{c}{suffix}").alias(f"_f_{c}") for c in right_values],
     )
+    # null-safe equality: left rows with NULL key or NULL timestamp must
+    # survive nearest exactly as they do in backward/forward (with NULL
+    # match columns), not be dropped by the recombine join
     j = bk.join(
         fw,
-        (F.col(on) == F.col("_on"))
-        & (F.col(left_ts) == F.col("_lts"))
+        F.col(on).eqNullSafe(F.col("_on"))
+        & F.col(left_ts).eqNullSafe(F.col("_lts"))
         & (F.col("_rn") == F.col("_rn2")),
     )
     lgap = F.abs(

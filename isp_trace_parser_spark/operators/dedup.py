@@ -387,6 +387,7 @@ def dedup_clusters(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und["b"] == labels["node"])
@@ -403,8 +404,16 @@ def dedup_clusters(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a component with diameter > max_iter would silently split into
+        # several "canonical" ids and keep duplicates — fail loud instead
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds; "
+            "a near-dup component's diameter exceeds max_iter — raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

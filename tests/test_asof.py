@@ -190,3 +190,27 @@ def test_asof_nearest_keys_only_left(spark, frames):
     ).toPandas()
     assert len(got) == 2  # duplicate key+ts rows preserved 1:1
     assert got["price_right"].notna().all()
+
+
+def test_asof_nearest_preserves_null_key_rows(spark, frames):
+    """Rows with a NULL key or NULL timestamp must survive nearest with
+    NULL match columns, same multiplicity as backward/forward (ADVICE r2)."""
+    _, right = frames
+    left = pd.DataFrame(
+        {
+            "series": ["a", None, "a", None],
+            "ts": pd.to_datetime(
+                ["2024-01-01 01:00", "2024-01-01 02:00", None, None]
+            ),
+            "lv": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    for direction in ("backward", "forward", "nearest"):
+        got = asof_join(
+            sl, sr, right_values=["price"], direction=direction
+        ).toPandas()
+        assert len(got) == 4, direction
+        null_rows = got[got["series"].isna() | got["ts"].isna()]
+        assert len(null_rows) == 3, direction
+        assert null_rows["price_right"].isna().all(), direction

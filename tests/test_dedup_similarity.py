@@ -203,6 +203,19 @@ def test_dedup_clusters_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_nonconvergence_fails_loud(spark):
+    """A component whose diameter exceeds max_iter must raise, not
+    silently return split clusters that keep duplicates (ADVICE r2)."""
+    chain = pd.DataFrame({"d1": list(range(9)), "d2": list(range(1, 10))})
+    pairs = spark.createDataFrame(chain)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(pairs, max_iter=2)
+    # same graph converges fine with enough rounds
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(pairs, max_iter=12).collect()}
+    assert set(got.values()) == {0}
+
+
 def test_dedup_keep_canonical(spark):
     pairs = spark.createDataFrame(
         pd.DataFrame({"d1": [1, 2, 10], "d2": [2, 3, 11]})

@@ -59,6 +59,15 @@ def test_ppm_codec_roundtrip():
         multimodal.decode_ppm(b"JFIF....")
 
 
+def test_ppm_truncated_header_fails_loud():
+    """A corrupt payload cut mid-header must raise, not hang the
+    executor scanning past the end of the buffer (ADVICE r2)."""
+    for payload in (b"P6", b"P6\n10", b"P6\n10 20", b"P6\n# only a comment",
+                    b"P6\n10 20\n255", b"P5 "):
+        with pytest.raises(ValueError, match="truncated|not a binary"):
+            multimodal.decode_ppm(payload)
+
+
 def test_wav_codec_roundtrip():
     t = np.arange(4000) / 4000.0
     sig = 0.5 * np.sin(2 * np.pi * 220 * t)
