@@ -162,6 +162,7 @@ def run_rollup_pipeline(
             res.stages_skipped.append(name)
             return
         src = cat.read(in_table)
+        touched = None  # full recompute -> full snapshot stat
         if changed is not None:
             if to_months:
                 # day-level changes -> recompute the affected months in
@@ -170,9 +171,17 @@ def run_rollup_pipeline(
                 src = src.where(
                     F.date_format(F.col(in_col), "yyyy-MM").isin(months)
                 )
+                out_values = months
             else:
                 days = expand_days(changed) if expand_days else changed
                 src = src.where(F.col(in_col).isin(days))
+                out_values = days
+            if partition_by:
+                # the snapshot-diff already names the recomputed output
+                # partitions: pass them so the commit stats only those
+                # subtrees instead of walking the whole table (O(touched),
+                # not O(table age))
+                touched = [f"{partition_by[0]}={v}" for v in out_values]
         out = build(src)
         lineage = {
             "stage": name,
@@ -190,6 +199,7 @@ def run_rollup_pipeline(
                 partition_by=partition_by,
                 mode="dynamic" if cat.exists(name) else "overwrite",
                 lineage=lineage,
+                touched_partitions=touched,
             )
         else:
             snap = cat.write(
@@ -199,6 +209,7 @@ def run_rollup_pipeline(
                 sort_within=sort_within,
                 mode="dynamic" if partition_by else "overwrite",
                 lineage=lineage,
+                touched_partitions=touched,
             )
         res.metrics[name] = {"files": snap["files"], "bytes": snap["bytes"]}
         res.stages_run.append(name)

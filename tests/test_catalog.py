@@ -122,3 +122,108 @@ def test_expire_partitions(spark, cat):
     assert cat.list_partitions("t", "k") == ["p1", "p2"]
     ops = [s["operation"] for s in cat.snapshots("t")]
     assert ops[-1] == "expire"
+
+
+def test_commit_snapshot_incremental_walks_only_touched(spark, cat, monkeypatch):
+    """A dynamic single-partition write must stat only that partition's
+    subtree — O(partitions touched), never a full-table walk
+    (VERDICT r2 #1)."""
+    from isp_trace_parser_spark.sources import catalog as catmod
+
+    cat.write(_df(spark), "t", partition_by=["k"])
+    full = cat.last_snapshot("t")["partitions"]
+
+    walked = []
+    real_walk = os.walk
+
+    def counting_walk(path, *a, **kw):
+        walked.append(os.path.basename(str(path).rstrip("/")))
+        return real_walk(path, *a, **kw)
+
+    monkeypatch.setattr(catmod.os, "walk", counting_walk)
+    cat.write(
+        _df(spark).where("k = 'p0'"), "t", partition_by=["k"], mode="dynamic"
+    )
+    # only the touched partition dir was walked — not the table root
+    assert walked == ["k=p0"]
+    snap = cat.last_snapshot("t")["partitions"]
+    # carried-forward metrics are byte-identical to a fresh full stat
+    assert snap == cat._stat_tree(cat.table_path("t"))
+    assert snap["k=p1"] == full["k=p1"] and snap["k=p2"] == full["k=p2"]
+    assert snap["k=p0"]["sig"] != full["k=p0"]["sig"]
+
+
+def test_expire_commit_is_incremental(spark, cat, monkeypatch):
+    from isp_trace_parser_spark.sources import catalog as catmod
+
+    cat.write(_df(spark), "t", partition_by=["k"])
+    before = cat.last_snapshot("t")["partitions"]
+    monkeypatch.setattr(
+        catmod.os, "walk",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("walked")),
+    )
+    snap = cat.expire_partitions("t", "k", ["p0"])
+    assert set(snap["partitions"]) == {"k=p1", "k=p2"}
+    assert snap["partitions"]["k=p1"] == before["k=p1"]
+    assert snap["bytes"] == sum(
+        m["bytes"] for r, m in before.items() if r != "k=p0"
+    )
+
+
+def test_compact_partition_scoped_and_atomic(spark, cat):
+    """Only partitions whose file count exceeds the bytes-derived target
+    are rewritten; untouched partitions' files stay byte-identical; a
+    stray crash-leftover tmp dir is invisible to reads (VERDICT r2 #3)."""
+    import glob
+
+    # p0 accretes small files via dynamic appends; p1/p2 stay single-file
+    cat.write(_df(spark), "t", partition_by=["k"], dist_buckets=None)
+    for _ in range(3):
+        cat.write(
+            _df(spark, 300).where("k = 'p0'"), "t",
+            partition_by=["k"], mode="append", repartition=False,
+        )
+    path = cat.table_path("t")
+    p1_files = {
+        f: os.path.getsize(os.path.join(path, "k=p1", f))
+        for f in os.listdir(os.path.join(path, "k=p1"))
+    }
+    rows_before = cat.read("t").count()
+    assert len(glob.glob(os.path.join(path, "k=p0", "*.parquet"))) > 1
+
+    # simulate a crash leftover from an earlier interrupted compaction
+    junk = os.path.join(path, ".k=p9.compact_tmp")
+    os.makedirs(junk, exist_ok=True)
+    with open(os.path.join(junk, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert cat.read("t").count() == rows_before  # hidden dir ignored
+
+    snap = cat.compact("t", sort_within=["ts"])
+    assert snap["lineage"]["compacted_partitions"] == ["k=p0"]
+    assert len(glob.glob(os.path.join(path, "k=p0", "*.parquet"))) == 1
+    assert cat.read("t").count() == rows_before
+    # untouched partition files not rewritten (same names and sizes)
+    p1_after = {
+        f: os.path.getsize(os.path.join(path, "k=p1", f))
+        for f in os.listdir(os.path.join(path, "k=p1"))
+    }
+    assert p1_after == p1_files
+    # snapshot metrics match a fresh full stat after the swap
+    assert snap["partitions"] == cat._stat_tree(path)
+
+
+def test_compact_refuses_bucketed_tables(spark, cat):
+    df = _df(spark, 200)
+    cat.write_bucketed(df, "b", bucket_by=["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="bucket"):
+        cat.compact("b")
+
+
+def test_hive_partition_rel_escaping():
+    from isp_trace_parser_spark.sources.catalog import hive_partition_rel
+
+    assert hive_partition_rel(["k"], ["p0"]) == "k=p0"
+    assert hive_partition_rel(["a", "b"], ["x", 3]) == "a=x/b=3"
+    assert hive_partition_rel(["k"], [None]) == "k=__HIVE_DEFAULT_PARTITION__"
+    assert hive_partition_rel(["k"], ["a:b/c"]) == "k=a%3Ab%2Fc"
+    assert hive_partition_rel(["k"], [True]) == "k=true"
