@@ -158,6 +158,21 @@ def parse_traces(
     out = parse_traces_df(
         spark, input_directory, mapping, filters, fail_on_unknown
     )
+    # the partition column (reference_year) is a pure function of the
+    # FILENAMES: derive the touched-partition list from the listing so
+    # the snapshot commit is O(partitions touched) with no extra job
+    import re
+
+    years = sorted(
+        {
+            int(m.group(2))
+            for m in (
+                re.match(r"^(.*)_RefYear(\d{4})\.csv$", p.rsplit("/", 1)[-1])
+                for p in read_wide_trace_csvs(spark, input_directory).inputFiles()
+            )
+            if m
+        }
+    )
     return cat.write(
         out,
         table,
@@ -165,4 +180,5 @@ def parse_traces(
         sort_within=["entity", "datetime"],
         mode="dynamic",
         lineage={"stage": "parse", "input_directory": input_directory},
+        touched_partitions=[f"reference_year={y}" for y in years],
     )

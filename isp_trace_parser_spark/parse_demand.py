@@ -15,12 +15,13 @@ filter -> restructure -> write.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
 from isp_trace_parser_spark.functions.restructure import trace_formatter
-from isp_trace_parser_spark.sources.catalog import Catalog
+from isp_trace_parser_spark.sources.catalog import Catalog, _escape_hive_value
 from isp_trace_parser_spark.sources.csv_trace import read_wide_trace_csvs
 
 # 2024 vocabulary (reference mappings/2024/demand.yaml:14-21). The raw
@@ -54,6 +55,30 @@ def decode_demand_filename(df: DataFrame, col: str = "source_file") -> DataFrame
     )
 
 
+def _listing_invalid(
+    df: DataFrame,
+    subregions: list[str],
+    scenario_display: dict[str, str],
+) -> list[str]:
+    """Basenames in the scan's file listing that fail the demand
+    filename vocabulary — must stay in lockstep with
+    ``decode_demand_filename``'s regex and the membership checks."""
+    rx = re.compile(_DEMAND_RE)
+    bad = set()
+    for path in df.inputFiles():
+        base = path.rsplit("/", 1)[-1]
+        m = rx.match(base)
+        if (
+            m is None
+            or m.group(1) not in subregions
+            or m.group(3) not in scenario_display
+            or m.group(4) not in POE_LEVELS
+            or m.group(5) not in DEMAND_TYPES
+        ):
+            bad.add(base)
+    return sorted(bad)[:20]
+
+
 def parse_demand_traces(
     spark,
     input_directory: str,
@@ -67,24 +92,14 @@ def parse_demand_traces(
     wide = read_wide_trace_csvs(spark, input_directory)
     decoded = decode_demand_filename(wide)
 
-    valid = (
-        F.col("subregion").isin(subregions)
-        & F.col("scenario_raw").isin(list(scenario_display))
-        & F.col("poe").isin(POE_LEVELS)
-        & F.col("demand_type").isin(DEMAND_TYPES)
-        & F.col("reference_year").isNotNull()
-    )
-    bad = (
-        decoded.where(~valid)
-        .select(F.element_at(F.split("source_file", "/"), -1).alias("f"))
-        .distinct()
-        .limit(20)
-        .collect()
-    )
+    # every validated field derives from the FILENAME, so validate from
+    # the scan's file listing (df.inputFiles() — FileIndex metadata, zero
+    # bytes of CSV read and no extra Spark job; same pattern as
+    # parse.py:_listing_stems, VERDICT r2 #8). The one real scan of the
+    # input stays the main parse job below.
+    bad = _listing_invalid(wide, subregions, scenario_display)
     if bad:
-        raise ValueError(
-            f"Unexpected trace filename: {[r['f'] for r in bad]}"
-        )
+        raise ValueError(f"Unexpected trace filename: {bad}")
 
     # J4: scenario raw -> display, tiny literal map
     m = F.create_map(*[F.lit(x) for kv in scenario_display.items() for x in kv])
@@ -106,6 +121,22 @@ def parse_demand_traces(
         F.col("reference_year").cast("int").alias("reference_year"),
         "scenario", "poe", "demand_type",
     )
+    # both partition columns derive from the FILENAMES: touched
+    # partitions come from the listing, keeping the snapshot commit
+    # O(partitions touched) with no extra job
+    rx = re.compile(_DEMAND_RE)
+    touched = sorted(
+        {
+            "scenario={}/reference_year={}".format(
+                _escape_hive_value(scenario_display[m.group(3)]),
+                int(m.group(2)),
+            )
+            for m in (
+                rx.match(p.rsplit("/", 1)[-1]) for p in wide.inputFiles()
+            )
+            if m and m.group(3) in scenario_display
+        }
+    )
     return cat.write(
         long_df,
         table,
@@ -113,4 +144,5 @@ def parse_demand_traces(
         sort_within=["subregion", "datetime"],
         mode="dynamic",
         lineage={"stage": "parse_demand", "input_directory": input_directory},
+        touched_partitions=touched,
     )

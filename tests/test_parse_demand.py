@@ -74,3 +74,26 @@ def test_parse_demand_filters(spark, tmp_path, demand_dir):
     out = cat.read("demand").toPandas()
     assert set(out["subregion"]) == {"CNSW"}
     assert set(out["poe"]) == {"POE10"}
+
+
+def test_parse_demand_no_driver_collect(spark, tmp_path, demand_dir, monkeypatch):
+    """Filename validation and touched-partition derivation both come
+    from the scan's file listing: the whole demand parse job must run
+    without a single driver-side collect (VERDICT r2 #8) — the only
+    Spark action is the sink write itself."""
+    from pyspark.sql import DataFrame
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (_ for _ in ()).throw(AssertionError("driver collect")),
+    )
+    snap = parse_demand_traces(
+        spark, demand_dir, cat, "demand", subregions=["CNSW", "VIC", "SQ"]
+    )
+    assert snap["operation"] == "write:dynamic"
+    assert set(snap["partitions"]) == {
+        "scenario=Green Energy Exports/reference_year=2011",
+        "scenario=Step Change/reference_year=2012",
+        "scenario=Progressive Change/reference_year=2011",
+    }
