@@ -872,6 +872,106 @@ def q_asof_join_forward(spark, sf_dir):
     )
 
 
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest as-of: min(|gap|) of the backward/forward matches, tie ->
+    backward — composed from both directional passes on one shared
+    exchange; oracle is two DuckDB ASOF joins recombined with the same
+    row_number pairing and least-absolute-delta CASE."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("series"), "ts", F.col("value").alias("lv")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("series"), "ts", F.col("value").alias("pv")
+    )
+    out = asof_join(
+        views, purchases, on="series", right_values=["pv"],
+        direction="nearest",
+    )
+    return out.select(
+        "series", "ts", _q("lv", 4).alias("lv"),
+        F.col("ts_right"), _q("pv_right", 4).alias("pv_right"),
+    )
+
+
+_DEMAND_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures",
+    "demand_csv",
+)
+# RE2 form of parse_demand._DEMAND_RE for the DuckDB oracle
+# (interpolated as a VALUE, so braces stay literal)
+_DEMAND_RE_SQL = (
+    r"^([A-Z0-9]+)_RefYear_(\d{4})_([A-Z_]+?)_(POE\d+)_"
+    r"(OPSO_MODELLING(?:_PVLITE)?|PV_TOT)\.csv$"
+)
+
+
+def _near_dup_oracle_sql() -> str:
+    """DuckDB SQL for embedding_near_dups with the seeded hyperplane
+    constants inlined (deterministic: numpy default_rng(42), dim 64,
+    8 bits — same planes the Spark operator builds)."""
+    from isp_trace_parser_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], [{}]) > 0 "
+        "THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(x)) for x in plane), 1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bkt
+                   FROM embeddings)
+        SELECT x.vec_id AS d1, y.vec_id AS d2,
+               round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                            y.embedding::DOUBLE[]), 4)
+                 AS cosine_sim
+        FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+                                     y.embedding::DOUBLE[]) >= 0.35"""
+
+
+def q_parse_demand_csv(spark, sf_dir):
+    """J2 end-to-end: the demand parse pipeline (composite filename
+    decode, scenario display rename, wide->long restructure) vs a DuckDB
+    read_csv oracle — closes the last §2 operator verified only by
+    pytest (VERDICT r2 #9)."""
+    _prep(spark)
+    from isp_trace_parser_spark.parse_demand import parse_demand_df
+
+    out = parse_demand_df(
+        spark, _DEMAND_FIXTURE_DIR, subregions=["CNSW", "VIC"]
+    )
+    return out.select(
+        "datetime", _q("value", 6).alias("value"), "subregion",
+        "reference_year", "scenario", "poe", "demand_type",
+    )
+
+
+def q_api_projection_policy(spark, sf_dir):
+    """S9/P2 edge: query_single_reference_year with select_columns=None
+    and a mixed filter (multi-value + scalar) — the AUTO projection
+    policy (reference get_data.py:92-104) must yield exactly
+    [ts, value, <multi-valued filter cols>]; the result is returned
+    without re-selecting, so the driver's schema compare pins the
+    policy itself (VERDICT r2 #10)."""
+    _prep(spark)
+    from isp_trace_parser_spark import api
+
+    ev = _t(spark, sf_dir, "events")
+    out = api.query_single_reference_year(
+        ev, 2024, 2024, None,
+        filters={"event_type": ["click", "view", "purchase"], "user_id": 7},
+        year_type="fy", ts_col="ts",
+    )
+    # round in place — the column SET is the policy's output
+    return out.withColumn("value", _q("value", 4))
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -928,6 +1028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "streaming_gapfill_30m": q_streaming_gapfill_30m,
         "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "parse_demand_csv": q_parse_demand_csv,
+        "api_projection_policy": q_api_projection_policy,
     }
 
 
@@ -1279,12 +1382,132 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(generate_series(0, duration_ms - 1, 1000)) AS INTEGER)
                      AS frame_ts_ms
             FROM m""",
-        # minhash_lsh_pairs / simhash_fingerprints / ann_* /
-        # embedding_near_dups / doc_fingerprints / frame_sample_plan /
-        # media_features: hash- or approximation-based — not expressible
-        # as engine-portable ANSI SQL; the driver records rows-only checks
-        # and the pytest suite holds their ground-truth assertions.
+        "asof_join_nearest": """
+            WITH v AS (SELECT user_id, ts, value AS lv FROM events
+                       WHERE event_type = 'view'),
+            p AS (SELECT user_id, ts, value AS pv FROM events
+                  WHERE event_type = 'purchase'),
+            b AS (SELECT v.user_id, v.ts, v.lv, p.ts AS bts, p.pv AS bv
+                  FROM v ASOF LEFT JOIN p
+                    ON v.user_id = p.user_id AND v.ts >= p.ts),
+            f AS (SELECT v.user_id, v.ts, v.lv, p.ts AS fts, p.pv AS fv
+                  FROM v ASOF LEFT JOIN p
+                    ON v.user_id = p.user_id AND v.ts <= p.ts),
+            b2 AS (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                                ORDER BY lv) AS rn FROM b),
+            f2 AS (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                                ORDER BY lv) AS rn FROM f),
+            j AS (SELECT b2.user_id, b2.ts, b2.lv, b2.bts, b2.bv, f2.fts,
+                         f2.fv,
+                         (b2.bts IS NULL OR (f2.fts IS NOT NULL
+                            AND abs(epoch_us(b2.ts) - epoch_us(f2.fts))
+                              < abs(epoch_us(b2.ts) - epoch_us(b2.bts))))
+                           AS use_fwd
+                  FROM b2 JOIN f2 USING (user_id, ts, rn))
+            SELECT user_id AS series, ts, round(lv, 4) AS lv,
+                   CASE WHEN use_fwd THEN fts ELSE bts END AS ts_right,
+                   round(CASE WHEN use_fwd THEN fv ELSE bv END, 4)
+                     AS pv_right
+            FROM j""",
+        "parse_demand_csv": rf"""
+            WITH raw AS (
+              SELECT *, parse_filename(filename) AS fname
+              FROM read_csv('{_DEMAND_FIXTURE_DIR}/*.csv', header=true,
+                            filename=true)
+            ),
+            dec AS (
+              SELECT *,
+                regexp_extract(fname, '{_DEMAND_RE_SQL}', 1) AS subregion,
+                CAST(regexp_extract(fname, '{_DEMAND_RE_SQL}', 2) AS INTEGER)
+                  AS reference_year,
+                regexp_extract(fname, '{_DEMAND_RE_SQL}', 3) AS scenario_raw,
+                regexp_extract(fname, '{_DEMAND_RE_SQL}', 4) AS poe,
+                regexp_extract(fname, '{_DEMAND_RE_SQL}', 5) AS demand_type
+              FROM raw
+            ),
+            disp(scenario_raw, scenario) AS (VALUES
+              ('STEP_CHANGE', 'Step Change'),
+              ('PROGRESSIVE_CHANGE', 'Progressive Change'),
+              ('HYDROGEN_EXPORT', 'Green Energy Exports')),
+            j AS (SELECT dec.*, disp.scenario FROM dec
+                  JOIN disp USING (scenario_raw)),
+            up AS (
+              SELECT Year, Month, Day, subregion, reference_year, scenario,
+                     poe, demand_type, label, value
+              FROM j UNPIVOT (value FOR label IN ({_AEMO_LABELS}))
+            )
+            SELECT make_timestamp(Year, Month, Day, 0, 0, 0)
+                     + to_minutes(30 * CAST(label AS INTEGER)) AS datetime,
+                   round(value, 6) AS value, subregion, reference_year,
+                   scenario, poe, demand_type
+            FROM up""",
+        "api_projection_policy": """
+            SELECT ts, round(value, 4) AS value, event_type FROM events
+            WHERE ts > TIMESTAMP '2023-07-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-07-01 00:00:00'
+              AND event_type IN ('click', 'view', 'purchase')
+              AND user_id = 7""",
+        # doc_fingerprints: the per-token hash is the first 15 hex digits
+        # of md5 mod p — portable; the positional powers 31^i mod p come
+        # from a tiny recursive CTE and the fold becomes a HUGEINT sum
+        "doc_fingerprints": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+              FROM documents
+            ),
+            pw(i, v) AS (
+              SELECT 1, CAST(1 AS BIGINT)
+              UNION ALL
+              SELECT i + 1, (v * 31) % 2147483647 FROM pw
+              WHERE i < (SELECT max(len(l)) FROM toks)
+            ),
+            ex AS (
+              SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+              FROM toks
+            ),
+            h AS (
+              SELECT doc_id, i,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647
+                       AS th
+              FROM ex
+            )
+            SELECT h.doc_id,
+                   CAST(sum((h.th::HUGEINT * pw.v::HUGEINT) % 2147483647)
+                        % 2147483647 AS BIGINT) AS fingerprint
+            FROM h JOIN pw USING (i)
+            GROUP BY h.doc_id""",
+        # media_features: n_bytes/dim are exact functions of the synth
+        # metadata (PPM header + raster, WAV header + PCM16, fake video
+        # container) — the oracle recomputes them from the id formulas,
+        # cross-checking that payload generation, decode and feature
+        # plumbing agree with the declared metadata
+        "media_features": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                ELSE 'video' END AS kind,
+                     (i % 16 + 1) * 16 AS w, (i % 9 + 1) * 16 AS h,
+                     (i % 30 + 1) * 1000 AS dur
+              FROM range(128) t(i)
+            )
+            SELECT media_id, kind,
+                   CAST(CASE kind
+                     WHEN 'image' THEN 9 + length(w::VARCHAR)
+                          + length(h::VARCHAR) + w * h * 3
+                     WHEN 'audio' THEN 44 + 2 * ((4000 * dur) // 1000)
+                     ELSE 263 END AS BIGINT) AS n_bytes,
+                   8 AS dim
+            FROM m""",
+        # minhash_lsh_pairs / simhash_fingerprints / ann_*: seeded-hash /
+        # approximation-based — not expressible as engine-portable ANSI
+        # SQL; the driver records rows-only checks and the pytest suite
+        # holds their ground-truth assertions (estimate-vs-true-Jaccard,
+        # recall-vs-brute-force).
     }
+    # embedding_near_dups: the LSH bucket rule uses seeded numpy
+    # hyperplanes — deterministic, so the oracle INLINES the plane
+    # constants and reproduces bucket assignment + cosine in SQL
+    sqls["embedding_near_dups"] = _near_dup_oracle_sql()
     # §2.7 top-k per group: composed from the lang_id and quality_score
     # oracles (rank over the 4dp-quantized score, doc_id tie-break)
     sqls["topk_per_group"] = f"""

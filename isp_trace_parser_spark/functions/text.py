@@ -69,13 +69,22 @@ def polynomial_fingerprint(text: Column, base: int = 31, mod: int = (1 << 31) - 
     """Rolling polynomial hash over the document's whitespace tokens:
     fp = sum(hash(tok_i) * base^i) mod p, computed with F.aggregate over
     the token array — a deterministic document fingerprint with an
-    order-sensitive structure (unlike xxhash64 of the whole string, the
-    per-token form supports windowed/rolling variants).
+    order-sensitive structure (unlike a flat hash of the whole string,
+    the per-token form supports windowed/rolling variants).
+
+    Per-token hash = the first 15 hex digits of md5(token) mod p —
+    portable arithmetic any engine reproduces bit-for-bit (the DuckDB
+    oracle recomputes it in SQL), unlike Spark's seeded xxhash64.
 
     p = 2^31 - 1 (Mersenne) keeps every intermediate product < 2^62 so
     the arithmetic never overflows int64 (Spark 4 ANSI mode throws on
     long overflow)."""
     toks = F.split(F.trim(text), r"\s+")
+
+    def tok_hash(t: Column) -> Column:
+        h = F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15), 16, 10)
+        return F.pmod(h.cast("long"), F.lit(mod))
+
     # accumulate (hash, power) as a struct
     acc0 = F.struct(
         F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")
@@ -84,9 +93,7 @@ def polynomial_fingerprint(text: Column, base: int = 31, mod: int = (1 << 31) - 
         toks,
         acc0,
         lambda acc, t: F.struct(
-            (
-                (acc["h"] + F.pmod(F.xxhash64(t), F.lit(mod)) * acc["p"]) % F.lit(mod)
-            ).alias("h"),
+            ((acc["h"] + tok_hash(t) * acc["p"]) % F.lit(mod)).alias("h"),
             ((acc["p"] * base) % F.lit(mod)).alias("p"),
         ),
     )

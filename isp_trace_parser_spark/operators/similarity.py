@@ -23,19 +23,23 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # products in DOUBLE (not float32): float32-rounded products drift
+    # ~1e-6 from any double-precision oracle, enough to flip a 4dp
+    # rounding boundary; double products match DuckDB's DOUBLE[] math
+    # to ~1e-16
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: x * x),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v.cast("double"),
+            lambda acc, v: acc + v,
         )
     )
 

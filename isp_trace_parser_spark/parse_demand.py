@@ -79,15 +79,16 @@ def _listing_invalid(
     return sorted(bad)[:20]
 
 
-def parse_demand_traces(
+def parse_demand_df(
     spark,
     input_directory: str,
-    cat: Catalog,
-    table: str,
     subregions: list[str],
     filters: dict[str, Any] | None = None,
     scenario_display: dict[str, str] | None = None,
-) -> dict[str, Any]:
+) -> DataFrame:
+    """The demand parse pipeline as a DataFrame (no sink): CSV scan ->
+    composite filename decode -> listing validation -> scenario rename
+    -> metadata filters -> wide->long restructure."""
     scenario_display = scenario_display or SCENARIO_DISPLAY
     wide = read_wide_trace_csvs(spark, input_directory)
     decoded = decode_demand_filename(wide)
@@ -114,26 +115,40 @@ def parse_demand_traces(
             else:
                 with_scenario = with_scenario.where(F.col(col) == value)
 
-    long_df = trace_formatter(
+    return trace_formatter(
         with_scenario.drop("source_file"), sort=False
     ).select(
         "datetime", "value", "subregion",
         F.col("reference_year").cast("int").alias("reference_year"),
         "scenario", "poe", "demand_type",
     )
+
+
+def parse_demand_traces(
+    spark,
+    input_directory: str,
+    cat: Catalog,
+    table: str,
+    subregions: list[str],
+    filters: dict[str, Any] | None = None,
+    scenario_display: dict[str, str] | None = None,
+) -> dict[str, Any]:
+    scenario_display = scenario_display or SCENARIO_DISPLAY
+    long_df = parse_demand_df(
+        spark, input_directory, subregions, filters, scenario_display
+    )
     # both partition columns derive from the FILENAMES: touched
-    # partitions come from the listing, keeping the snapshot commit
-    # O(partitions touched) with no extra job
+    # partitions come from the listing (metadata only, no data read),
+    # keeping the snapshot commit O(partitions touched) with no extra job
     rx = re.compile(_DEMAND_RE)
+    listing = read_wide_trace_csvs(spark, input_directory).inputFiles()
     touched = sorted(
         {
             "scenario={}/reference_year={}".format(
                 _escape_hive_value(scenario_display[m.group(3)]),
                 int(m.group(2)),
             )
-            for m in (
-                rx.match(p.rsplit("/", 1)[-1]) for p in wide.inputFiles()
-            )
+            for m in (rx.match(p.rsplit("/", 1)[-1]) for p in listing)
             if m and m.group(3) in scenario_display
         }
     )
