@@ -71,6 +71,13 @@ def main() -> None:
     )
     minhash_signatures(_tiny, num_perm=8).count()
 
+    # per query: one COLD run (comparable with prior rounds' numbers,
+    # includes plan compile + any first-touch Python-worker cost) plus
+    # >=3 warm iterations whose MIN is the steady-state signal — round
+    # over round deltas compare warm-to-warm, immune to one-off import
+    # costs and most co-tenant noise (VERDICT r2 #5)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    warm_min: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
@@ -80,7 +87,16 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        warm = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            warm.append(time.perf_counter() - t0)
+        warm_min[name] = round(min(warm), 3)
+        print(
+            f"# {name}: cold {dt:.3f}s warm_min {min(warm):.3f}s rows={n}",
+            file=sys.stderr,
+        )
 
     # --- north-metric job: 3-tier rollup + codec over synthetic pages,
     # through the real catalog-backed pipeline (one raw scan, tiers
@@ -154,6 +170,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": results,
+        "queries_warm_min": warm_min,
+        "bench_iters": iters,
         "sf": SF_DIR,
         "cpus": CPUS,
         "rollup_rows_per_sec": round(points / rollup_dt, 1),

@@ -81,7 +81,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     n: int = 1,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Exact Jaccard similarity over token (n=1) or n-gram shingle sets.
 
@@ -95,10 +95,17 @@ def ngram_jaccard_pairs(
     stopword ("the") alone joins the whole corpus. Tokens with document
     frequency above the cap are dropped from BOTH the candidate join and
     the per-doc set sizes (so jaccard stays exact over the capped
-    vocabulary — the standard df-cut used by near-dup pipelines). Default
-    None keeps full exact semantics for small/verified corpora; at scale
-    always set it (e.g. 0.1% of corpus size).
+    vocabulary — the standard df-cut used by near-dup pipelines).
+
+    SAFE BY DEFAULT (VERDICT r2 #7): ``"auto"`` derives the cap as
+    ``max(1000, 0.001 * n_docs)`` (one count job) so a migrating user
+    can't hit the d^2 blowup by omission — at any corpus below 1M docs
+    the auto cap is >=1000 and only truly corpus-wide tokens are cut.
+    Pass an int to control it, or an EXPLICIT ``None`` to opt out into
+    full exact semantics (small/verified corpora only).
     """
+    if max_doc_freq == "auto":
+        max_doc_freq = max(1000, int(0.001 * df.count()))
     if n == 1:
         toks = tokenize(df, text_col)
     else:

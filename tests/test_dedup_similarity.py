@@ -123,6 +123,28 @@ def test_jaccard_df_cap_defuses_hot_token(spark):
     assert np.allclose(capped["jaccard"], 1 / 3)
 
 
+def test_jaccard_default_is_skew_safe(spark):
+    """DEFAULT call (no max_doc_freq) must auto-cap: a corpus-wide token
+    over >1000 docs is cut, so the self-join carries only rare-token
+    rows instead of n^2/2 hot candidates (VERDICT r2 #7)."""
+    n = 1200
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [f"common uniq{i}" for i in range(n)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    # default: 'common' (df=1200 > auto cap 1000) is dropped -> no doc
+    # pair shares a token -> zero pairs, join never sees the hot token
+    assert dedup.ngram_jaccard_pairs(sdf, threshold=0.0).count() == 0
+    # explicit opt-out restores full exact semantics (quadratic: every
+    # pair shares 'common') — demonstrated on a small slice only
+    small = spark.createDataFrame(pdf.head(20))
+    full = dedup.ngram_jaccard_pairs(small, threshold=0.0, max_doc_freq=None)
+    assert full.count() == 20 * 19 / 2
+
+
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
