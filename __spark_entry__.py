@@ -909,20 +909,24 @@ _DEMAND_RE_SQL = (
 )
 
 
-def _near_dup_oracle_sql() -> str:
-    """DuckDB SQL for embedding_near_dups with the seeded hyperplane
-    constants inlined (deterministic: numpy default_rng(42), dim 64,
-    8 bits — same planes the Spark operator builds)."""
+def _lsh_bucket_sql(bits: int, vec_expr: str = "embedding::DOUBLE[]") -> str:
+    """Random-hyperplane bucket id as DuckDB SQL with the seeded plane
+    constants inlined (deterministic: numpy default_rng(42), dim 64 —
+    same planes the Spark operator builds)."""
     from isp_trace_parser_spark.operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(64, 8, 42)
-    bucket = " + ".join(
-        "(CASE WHEN list_dot_product(embedding::DOUBLE[], [{}]) > 0 "
+    planes = _hyperplanes(64, bits, 42)
+    return " + ".join(
+        "(CASE WHEN list_dot_product({}, [{}]) > 0 "
         "THEN {} ELSE 0 END)".format(
-            ", ".join(repr(float(x)) for x in plane), 1 << i
+            vec_expr, ", ".join(repr(float(x)) for x in plane), 1 << i
         )
         for i, plane in enumerate(planes)
     )
+
+
+def _near_dup_oracle_sql() -> str:
+    bucket = _lsh_bucket_sql(8)
     return f"""
         WITH b AS (SELECT vec_id, embedding, {bucket} AS bkt
                    FROM embeddings)
@@ -933,6 +937,109 @@ def _near_dup_oracle_sql() -> str:
         FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
         WHERE list_cosine_similarity(x.embedding::DOUBLE[],
                                      y.embedding::DOUBLE[]) >= 0.35"""
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """ann_lsh_topk: qbucket and the hamming<=2 multiprobe set are
+    reproduced in SQL (probing qbucket plus every 1- and 2-bit flip ==
+    all buckets within hamming 2), then exact cosine top-k inside the
+    probed candidates — same plan the Spark operator runs."""
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                   WHERE vec_id = 0),
+        qb AS (SELECT {_lsh_bucket_sql(6, 'qe')} AS qbkt FROM q),
+        b AS (SELECT vec_id, embedding, {_lsh_bucket_sql(6)} AS bkt
+              FROM embeddings),
+        cand AS (SELECT b.vec_id, b.embedding FROM b, qb
+                 WHERE bit_count(xor(b.bkt, qb.qbkt)) <= 2)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qe), 4)
+                 AS cosine_sim
+        FROM cand, q
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC,
+                 vec_id ASC
+        LIMIT 10"""
+
+
+def _simhash_oracle_sql() -> str:
+    """simhash: per-token hash = first 15 hex digits of md5 (60 bits,
+    same as the operator since round 3); 60 SUM-CASE bit votes + sign
+    reassembly. Bits 60-63 are structurally zero on both engines."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+              FROM toks WHERE tok <> ''),
+        v AS (SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v"""
+
+
+def _minhash_oracle_sql() -> str:
+    """minhash_lsh_pairs: the signature math is portable arithmetic —
+    byte-packed 3-byte shingles (corpus is ASCII, so unicode(char) ==
+    utf-8 byte; asserted upstream by the operator's numpy path being
+    byte-based), 128 universal hashes (a*h+b) mod 2^64 mod (2^61-1)
+    with the seeded a/b constants inlined, min per doc. Candidates join
+    on band-slice EQUALITY (16 bands x 8 rows) — equivalent to the
+    operator's xxhash64 bucket equi-join modulo astronomically-rare
+    bucket collisions — then estimated Jaccard = matching positions /
+    128 with the same >= 0.7 cut."""
+    from isp_trace_parser_spark.operators.dedup import _minhash_params
+
+    a, b, p = _minhash_params(128, 42)
+    wrap = 1 << 64
+    sig_cols = ",\n                ".join(
+        f"CAST(min((({int(a[i])}::HUGEINT * h + {int(b[i])}) % {wrap})"
+        f" % {p}) AS BIGINT) AS s{i}"
+        for i in range(128)
+    )
+    bands = "\n             OR ".join(
+        "(" + " AND ".join(f"x.s{bd * 8 + r} = y.s{bd * 8 + r}" for r in range(8)) + ")"
+        for bd in range(16)
+    )
+    # chunked into 16 parenthesized sub-sums: a flat 128-term '+' chain
+    # left-associates 128 levels deep and trips DuckDB's binder
+    # recursion limit
+    matches = " + ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END)"
+            for i in range(c * 8, c * 8 + 8)
+        )
+        + ")"
+        for c in range(16)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 65536 * unicode(substring(text, CAST(i AS INTEGER), 1))
+                 + 256 * unicode(substring(text, CAST(i AS INTEGER) + 1, 1))
+                 + unicode(substring(text, CAST(i AS INTEGER) + 2, 1)) AS h
+          FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+                FROM documents)
+        ),
+        sig AS (SELECT doc_id,
+                {sig_cols}
+                FROM sh GROUP BY doc_id),
+        est AS (
+          SELECT x.doc_id AS d1, y.doc_id AS d2,
+                 ({matches}) / 128.0 AS ej
+          FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+          WHERE {bands}
+        )
+        SELECT d1, d2, round(ej, 4) AS est_jaccard
+        FROM est WHERE ej >= 0.7"""
 
 
 def q_parse_demand_csv(spark, sf_dir):
@@ -1498,16 +1605,19 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 263 END AS BIGINT) AS n_bytes,
                    8 AS dim
             FROM m""",
-        # minhash_lsh_pairs / simhash_fingerprints / ann_*: seeded-hash /
-        # approximation-based — not expressible as engine-portable ANSI
-        # SQL; the driver records rows-only checks and the pytest suite
-        # holds their ground-truth assertions (estimate-vs-true-Jaccard,
-        # recall-vs-brute-force).
+        # ann_ivf_topk: the only remaining no_oracle row — centroid
+        # training samples by Spark xxhash64 order and assigns in numpy;
+        # not reproducible in engine-portable SQL. The driver records a
+        # rows-only check; tests/test_dedup_similarity.py holds its
+        # ground-truth (recall-vs-brute-force) assertion.
     }
-    # embedding_near_dups: the LSH bucket rule uses seeded numpy
-    # hyperplanes — deterministic, so the oracle INLINES the plane
-    # constants and reproduces bucket assignment + cosine in SQL
+    # seeded-constant oracles: deterministic numpy hyperplanes / hash
+    # params are INLINED into generated SQL, so bucket assignment,
+    # probing and signature math are reproduced engine-portably
     sqls["embedding_near_dups"] = _near_dup_oracle_sql()
+    sqls["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+    sqls["simhash_fingerprints"] = _simhash_oracle_sql()
+    sqls["minhash_lsh_pairs"] = _minhash_oracle_sql()
     # §2.7 top-k per group: composed from the lang_id and quality_score
     # oracles (rank over the 4dp-quantized score, doc_id tie-break)
     sqls["topk_per_group"] = f"""

@@ -286,8 +286,15 @@ def minhash_lsh_pairs(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per document, entirely JVM-side:
-    tokenize -> xxhash64(token) -> per-bit +/- votes -> sign.
+    """SimHash per document, entirely JVM-side:
+    tokenize -> 60-bit md5-derived token hash -> per-bit +/- votes ->
+    sign.
+
+    The per-token hash is the first 15 hex digits of md5(token) (60
+    bits) — portable arithmetic the DuckDB oracle reproduces bit-for-bit
+    (Spark's xxhash64 seed is engine-private). Bits 60-63 of the
+    fingerprint are structurally zero; 60 effective bits leave SimHash's
+    collision behavior unchanged at any realistic corpus size.
 
     The bit-unpacking is expressed as 64 aggregate expressions over the
     token hashes (one groupBy, map-side combined) — no UDF, no shuffle
@@ -301,7 +308,9 @@ def simhash(
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(F.when(h.bitwiseAND(_bit_lit(i)) != 0, 1).otherwise(-1)).alias(
