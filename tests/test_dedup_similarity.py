@@ -66,10 +66,32 @@ def test_minhash_estimates_jaccard(spark, dup_docs):
 
 
 def test_simhash_near_dups(spark, dup_docs):
+    """Identity on exact dups from the tiny fixture; near-dup DETECTION
+    is asserted inside the operator's pigeonhole guarantee (4 x 16-bit
+    chunks catch hamming <= 3 with certainty, so the near-dup pair is a
+    100-token doc with one changed token -> hamming 2 — short docs'
+    simhash jitter made the old 9-token/hamming-10 assertion luck-based)."""
     pairs = dedup.simhash_near_dup_pairs(dup_docs, max_hamming=10).toPandas()
     got = {tuple(sorted((r.d1, r.d2))): r.hamming for r in pairs.itertuples()}
     assert got[(0, 1)] == 0  # identical docs -> identical fingerprints
-    assert (0, 2) in got  # near dup within hamming budget
+
+    base = [f"w{i}" for i in range(100)]
+    near = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                " ".join(base),
+                " ".join(base[:-1] + ["changed"]),
+                " ".join(f"z{i}" for i in range(100)),
+            ],
+        }
+    )
+    got2 = dedup.simhash_near_dup_pairs(
+        spark.createDataFrame(near), max_hamming=3
+    ).toPandas()
+    det = {tuple(sorted((r.d1, r.d2))): r.hamming for r in got2.itertuples()}
+    assert (0, 1) in det and det[(0, 1)] <= 3
+    assert (0, 2) not in det and (1, 2) not in det
 
 
 def test_dedup_on_real_documents(spark, docs):
