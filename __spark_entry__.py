@@ -499,14 +499,24 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF cell assignment + nprobe cell probing + exact cosine top-k
+    inside the probed cells — the DISTRIBUTED parts of the IVF path —
+    with fixed deterministic centroids (the embeddings of vec_id 0..7)
+    so a DuckDB oracle can reproduce cell assignment and probing
+    exactly. The kmeans-style training (train_centroids_sample) remains
+    pytest-covered: its xxhash64-ordered sample + numpy Lloyd rounds are
+    not engine-portable SQL, and ivf_topk takes centroids as a
+    parameter by design."""
     _prep(spark)
-    from isp_trace_parser_spark.operators.similarity import (
-        ivf_topk,
-        train_centroids_sample,
-    )
+    import numpy as np
+
+    from isp_trace_parser_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = train_centroids_sample(emb, n_centroids=8)
+    cents = np.array(
+        emb.where("vec_id < 8").orderBy("vec_id").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
     out = ivf_topk(emb, _query_vec(spark, sf_dir), cents, k=10, nprobe=3)
     return out.select("vec_id", _q("cosine_sim", 4).alias("cosine_sim"))
 
@@ -1605,11 +1615,29 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 263 END AS BIGINT) AS n_bytes,
                    8 AS dim
             FROM m""",
-        # ann_ivf_topk: the only remaining no_oracle row — centroid
-        # training samples by Spark xxhash64 order and assigns in numpy;
-        # not reproducible in engine-portable SQL. The driver records a
-        # rows-only check; tests/test_dedup_similarity.py holds its
-        # ground-truth (recall-vs-brute-force) assertion.
+        "ann_ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0),
+            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                  FROM embeddings WHERE vec_id < 8),
+            assign AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.ce),
+                                c.cid) AS rk
+              FROM embeddings e CROSS JOIN c
+            ),
+            cells AS (SELECT cid FROM c, q
+                      ORDER BY list_distance(c.ce, q.qe), cid LIMIT 3)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe), 4)
+                     AS cosine_sim
+            FROM assign, q
+            WHERE rk = 1 AND cid IN (SELECT cid FROM cells)
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC,
+                     vec_id ASC
+            LIMIT 10""",
     }
     # seeded-constant oracles: deterministic numpy hyperplanes / hash
     # params are INLINED into generated SQL, so bucket assignment,
