@@ -1089,6 +1089,51 @@ def q_api_projection_policy(spark, sf_dir):
     return out.withColumn("value", _q("value", 4))
 
 
+def q_json_props_rollup(spark, sf_dir):
+    """WARC-style JSON metadata extraction: from_json parses the props
+    column ONCE into a typed struct (whole-stage codegen — no per-field
+    re-parse, no Python), then a per-type rollup of the extracted
+    field. The standard crawl-annotation pattern at 100 TB."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.extract import json_metadata
+
+    ev = _t(spark, sf_dir, "events")
+    k = json_metadata(F.col("props"), "k INT")["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        _q(F.avg("k"), 4).alias("avg_k"),
+        F.count("k").alias("n_k"),
+    )
+
+
+def q_source_quality_report(spark, sf_dir):
+    """Per-source corpus profile (the per-domain quality report every
+    crawl pipeline runs before sampling): doc counts, mean quality,
+    token totals, size extremes — one map-side-combined groupBy.
+    Per-doc quality is quantized to 4dp BEFORE the mean on both engines
+    so the averaged values are bit-identical inputs."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.text import (
+        quality_score,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "n_chars",
+        _q(quality_score(F.col("text")), 4).alias("q"),
+        whitespace_token_count(F.col("text")).alias("nt"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        _q(F.avg("q"), 4).alias("avg_quality"),
+        F.sum("nt").alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1148,6 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "parse_demand_csv": q_parse_demand_csv,
         "api_projection_policy": q_api_projection_policy,
+        "json_props_rollup": q_json_props_rollup,
+        "source_quality_report": q_source_quality_report,
     }
 
 
@@ -1646,6 +1693,27 @@ def oracle_sql() -> dict[str, str]:
     sqls["ann_lsh_topk"] = _ann_lsh_oracle_sql()
     sqls["simhash_fingerprints"] = _simhash_oracle_sql()
     sqls["minhash_lsh_pairs"] = _minhash_oracle_sql()
+    sqls["json_props_rollup"] = """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+                 AS avg_k,
+               count(json_extract_string(props, '$.k')) AS n_k
+        FROM events GROUP BY 1"""
+    # per-source profile composed from the per-doc quality oracle (the
+    # 4dp quantization happens per doc before the mean on both engines)
+    sqls["source_quality_report"] = rf"""
+        WITH q AS ({sqls["quality_score"]}),
+        t AS (SELECT doc_id, source, n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS nt
+              FROM documents)
+        SELECT t.source, count(*) AS n_docs,
+               round(avg(q.quality), 4) AS avg_quality,
+               sum(t.nt) AS total_tokens,
+               min(t.n_chars) AS min_chars, max(t.n_chars) AS max_chars
+        FROM t JOIN q USING (doc_id) GROUP BY 1"""
     # §2.7 top-k per group: composed from the lang_id and quality_score
     # oracles (rank over the 4dp-quantized score, doc_id tie-break)
     sqls["topk_per_group"] = f"""

@@ -139,3 +139,15 @@ def language_id(text: Column) -> Column:
     )
     best = F.array_max(scored)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def json_metadata(props: Column, schema: str) -> Column:
+    """Typed struct from a JSON metadata column (WARC headers, page
+    props, crawl annotations ride along as JSON strings in web corpora).
+
+    ``from_json`` parses ONCE into a typed struct inside whole-stage
+    codegen — at 100 TB this beats N ``get_json_object`` calls (N parses
+    per row) and any Python-side json.loads by orders of magnitude.
+    Malformed JSON yields NULL fields (Spark PERMISSIVE default), so a
+    corrupt row can't fail the scan."""
+    return F.from_json(props, schema)
