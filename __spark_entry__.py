@@ -1134,6 +1134,56 @@ def q_source_quality_report(spark, sf_dir):
     )
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Native session-window streaming aggregation (engine-managed
+    state + watermark eviction) vs a DuckDB lag/cumsum oracle with the
+    same >=-gap semantics. Append-mode flush on a finite source: two
+    far-future SENTINEL rows arrive as later microbatches
+    (maxFilesPerTrigger=1), advancing the watermark past every real
+    session so all of them emit before availableNow terminates; the
+    sentinel users are filtered from the result."""
+    _prep(spark)
+    import datetime
+    import tempfile
+    import time
+    import uuid
+
+    from isp_trace_parser_spark.streaming.sessionize_stream import (
+        streaming_sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    ev.write.mode("overwrite").parquet(src)
+    for i, d in enumerate((1, 2)):
+        sent = spark.createDataFrame(
+            [(-1 - i, max_ts + datetime.timedelta(days=d), 0.0)], ev.schema
+        )
+        time.sleep(1.1)  # later mtime => later microbatch
+        sent.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cksess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).where("user_id >= 0").select(
+        "user_id", "session_start", "session_end", "n_events",
+        _q(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1195,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_projection_policy": q_api_projection_policy,
         "json_props_rollup": q_json_props_rollup,
         "source_quality_report": q_source_quality_report,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 
 
@@ -1700,6 +1751,34 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_k,
                count(json_extract_string(props, '$.k')) AS n_k
         FROM events GROUP BY 1"""
+    # streaming session windows: >-gap semantics — Spark's
+    # session_window MERGES an event arriving exactly `gap` after the
+    # previous one (touching intervals merge; pinned by
+    # tests/test_streaming.py boundary test), same as the batch
+    # sessionizer; window end = last event + gap
+    sqls["streaming_sessionize"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                              > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sid
+          FROM g
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2)
+                 AS sum_value
+        FROM s GROUP BY user_id, sid"""
     # per-source profile composed from the per-doc quality oracle (the
     # 4dp quantization happens per doc before the mean on both engines)
     sqls["source_quality_report"] = rf"""

@@ -86,3 +86,74 @@ def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
     batch = dedup.exact_dedup(spark.read.parquet(src)).toPandas()
     assert set(got["content_hash"]) == set(batch["content_hash"])
     assert set(got["content_hash2"]) == set(batch["content_hash2"])
+
+
+def test_streaming_sessionize_boundary_semantics(spark, tmp_path):
+    """Native session windows: an event EXACTLY gap after the previous
+    one MERGES into the same session (touching intervals merge — the
+    same >-gap rule as the batch sessionizer), and the two-sentinel
+    flush emits every real session before availableNow terminates."""
+    import datetime
+    import time
+
+    from pyspark.sql import functions as F
+
+    from isp_trace_parser_spark.streaming.sessionize_stream import (
+        streaming_sessionize,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": [
+                t0,
+                t0 + pd.Timedelta(minutes=10),
+                t0 + pd.Timedelta(minutes=40),  # exactly 30m after prev
+                t0 + pd.Timedelta(minutes=5),
+            ],
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    src = str(tmp_path / "sess_src")
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    mx = rows["ts"].max().to_pydatetime()
+    for i, d in enumerate((1, 2)):
+        sent = spark.createDataFrame(
+            [(-1 - i, mx + datetime.timedelta(days=d), 0.0)], df.schema
+        )
+        time.sleep(1.1)
+        sent.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_boundary")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sess_boundary")
+        .where("user_id >= 0")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2  # exact-gap event merges: one session per user
+    u1 = got[got["user_id"] == 1]
+    assert list(u1["n_events"]) == [3]
+    assert u1.iloc[0]["session_start"] == t0
+    # session end = last event + gap (40min event merged in)
+    assert u1.iloc[0]["session_end"] == t0 + pd.Timedelta(minutes=70)
+    assert float(u1.iloc[0]["sum_value"]) == 7.0
+    u2 = got[got["user_id"] == 2]
+    assert list(u2["n_events"]) == [1]
