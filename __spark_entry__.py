@@ -1155,7 +1155,11 @@ def q_streaming_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     max_ts = ev.agg(F.max("ts")).first()[0]
     src = tempfile.mkdtemp(prefix="sess_src_")
-    ev.write.mode("overwrite").parquet(src)
+    # ONE file => all real events land in microbatch 1, before any
+    # watermark exists. A multi-file write + maxFilesPerTrigger=1 would
+    # let batch 1's hash-shard (spanning the full time range) advance
+    # the watermark and silently late-drop the remaining shards.
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
     for i, d in enumerate((1, 2)):
         sent = spark.createDataFrame(
             [(-1 - i, max_ts + datetime.timedelta(days=d), 0.0)], ev.schema

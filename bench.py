@@ -92,9 +92,12 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             warm.append(time.perf_counter() - t0)
-        warm_min[name] = round(min(warm), 3)
+        if warm:  # ITERS=0 => cold-only run, no warm numbers
+            warm_min[name] = round(min(warm), 3)
         print(
-            f"# {name}: cold {dt:.3f}s warm_min {min(warm):.3f}s rows={n}",
+            f"# {name}: cold {dt:.3f}s"
+            + (f" warm_min {min(warm):.3f}s" if warm else "")
+            + f" rows={n}",
             file=sys.stderr,
         )
 

@@ -65,23 +65,35 @@ def quality_score(text: Column) -> Column:
     return (len_score * 0.3 + punct_pen * 0.2 + stop_score * 0.3 + wl_score * 0.2)
 
 
-def polynomial_fingerprint(text: Column, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+def polynomial_fingerprint(
+    text: Column,
+    base: int = 31,
+    mod: int = (1 << 31) - 1,
+    token_hash: str = "portable",
+) -> Column:
     """Rolling polynomial hash over the document's whitespace tokens:
     fp = sum(hash(tok_i) * base^i) mod p, computed with F.aggregate over
     the token array — a deterministic document fingerprint with an
     order-sensitive structure (unlike a flat hash of the whole string,
     the per-token form supports windowed/rolling variants).
 
-    Per-token hash = the first 15 hex digits of md5(token) mod p —
-    portable arithmetic any engine reproduces bit-for-bit (the DuckDB
-    oracle recomputes it in SQL), unlike Spark's seeded xxhash64.
+    ``token_hash="portable"`` (default): first 15 hex digits of
+    md5(token) mod p — arithmetic any engine reproduces bit-for-bit
+    (the DuckDB oracle recomputes it in SQL), unlike Spark's seeded
+    xxhash64. ``"fast"``: native xxhash64 mod p — one JVM hash vs
+    md5+hex-substring+base-conversion per token; pick this on a
+    production corpus where fingerprints never leave the engine.
 
     p = 2^31 - 1 (Mersenne) keeps every intermediate product < 2^62 so
     the arithmetic never overflows int64 (Spark 4 ANSI mode throws on
     long overflow)."""
+    if token_hash not in ("portable", "fast"):
+        raise ValueError("token_hash must be 'portable' or 'fast'")
     toks = F.split(F.trim(text), r"\s+")
 
     def tok_hash(t: Column) -> Column:
+        if token_hash == "fast":
+            return F.pmod(F.xxhash64(t), F.lit(mod))
         h = F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15), 16, 10)
         return F.pmod(h.cast("long"), F.lit(mod))
 

@@ -284,17 +284,26 @@ def minhash_lsh_pairs(
 
 # --------------------------------------------------------------- simhash
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "portable",
 ) -> DataFrame:
     """SimHash per document, entirely JVM-side:
-    tokenize -> 60-bit md5-derived token hash -> per-bit +/- votes ->
-    sign.
+    tokenize -> token hash -> per-bit +/- votes -> sign.
 
-    The per-token hash is the first 15 hex digits of md5(token) (60
-    bits) — portable arithmetic the DuckDB oracle reproduces bit-for-bit
-    (Spark's xxhash64 seed is engine-private). Bits 60-63 of the
-    fingerprint are structurally zero; 60 effective bits leave SimHash's
-    collision behavior unchanged at any realistic corpus size.
+    ``token_hash``:
+
+    - ``"portable"`` (default): first 15 hex digits of md5(token) (60
+      bits) — arithmetic any engine reproduces bit-for-bit (the DuckDB
+      oracle does; Spark's xxhash64 seed is engine-private). Bits 60-63
+      of the fingerprint are structurally zero; 60 effective bits leave
+      SimHash's collision behavior unchanged at any realistic corpus
+      size.
+    - ``"fast"``: native xxhash64 (64 bits) — one JVM hash vs
+      md5+hex-substring+base-conversion per token; pick this on a
+      production 100-TB corpus where fingerprints never leave the
+      engine (several-x cheaper per token, same near-dup quality).
 
     The bit-unpacking is expressed as 64 aggregate expressions over the
     token hashes (one groupBy, map-side combined) — no UDF, no shuffle
@@ -308,9 +317,14 @@ def simhash(
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
-    h = F.conv(
-        F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10
-    ).cast("long")
+    if token_hash == "fast":
+        h = F.xxhash64("tok")
+    elif token_hash == "portable":
+        h = F.conv(
+            F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError("token_hash must be 'portable' or 'fast'")
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(F.when(h.bitwiseAND(_bit_lit(i)) != 0, 1).otherwise(-1)).alias(
@@ -326,12 +340,15 @@ def simhash(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    token_hash: str = "portable",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded by 16-bit
     chunks (pigeonhole: distance <= 3 => at least one of 4 chunks equal),
     so the join is equi- not theta-."""
-    fps = simhash(df, text_col).cache()
+    fps = simhash(df, text_col, token_hash=token_hash).cache()
     chunks = fps.select(
         "doc_id",
         "simhash",
@@ -404,7 +421,10 @@ def dedup_clusters(
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
-    for _ in range(max_iter):
+    # +1: detecting the fixpoint costs one confirmation round beyond the
+    # diameter, so a graph with diameter == max_iter converges cleanly
+    # instead of raising with already-correct labels
+    for _ in range(max_iter + 1):
         neighbor_min = (
             und.join(labels, und["b"] == labels["node"])
             .groupBy("a")
@@ -427,8 +447,10 @@ def dedup_clusters(
         # a component with diameter > max_iter would silently split into
         # several "canonical" ids and keep duplicates — fail loud instead
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} rounds; "
-            "a near-dup component's diameter exceeds max_iter — raise max_iter"
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "propagation rounds: a near-dup component's diameter exceeds "
+            "max_iter — raise max_iter (it must be >= the largest "
+            "component's diameter)"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -35,6 +35,7 @@ from isp_trace_parser_spark.functions.restructure import trace_formatter
 from isp_trace_parser_spark.input_validation import metadata_filter_to_parse_dims
 from isp_trace_parser_spark.sources.catalog import Catalog
 from isp_trace_parser_spark.sources.csv_trace import (
+    STEM_RE,
     decode_trace_filename,
     read_wide_trace_csvs,
 )
@@ -62,27 +63,24 @@ def build_name_mapping_df(
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
-_STEM_RE = None  # compiled lazily; same pattern as decode_trace_filename
+def _listing_matches(df: DataFrame) -> list:
+    """Basename regex matches (or None) for the scan's file listing —
+    metadata only, zero bytes of CSV read; the same STEM_RE the column
+    decode uses. Basenames stay URI-encoded exactly as
+    input_file_name() reports them, so listing checks and the broadcast
+    join see the same stem spelling."""
+    import re
+
+    rx = re.compile(STEM_RE)
+    return [
+        (path.rsplit("/", 1)[-1], rx.match(path.rsplit("/", 1)[-1]))
+        for path in df.inputFiles()
+    ]
 
 
 def _listing_stems(df: DataFrame) -> set[str]:
-    """Distinct trace stems from the scan's file listing — metadata
-    only, zero bytes of CSV read. Must stay in lockstep with
-    decode_trace_filename (sources/csv_trace.py:52)."""
-    global _STEM_RE
-    import re
-
-    if _STEM_RE is None:
-        _STEM_RE = re.compile(r"^(.*)_RefYear(\d{4})\.csv$")
-    stems: set[str] = set()
-    for path in df.inputFiles():
-        # keep the URI-encoded basename exactly as input_file_name()
-        # reports it, so the listing check and the broadcast join see
-        # the same stem spelling
-        base = path.rsplit("/", 1)[-1]
-        m = _STEM_RE.match(base)
-        stems.add(m.group(1) if m else base)
-    return stems
+    """Distinct trace stems from the scan's file listing."""
+    return {m.group(1) if m else base for base, m in _listing_matches(df)}
 
 
 def parse_traces_df(
@@ -91,18 +89,22 @@ def parse_traces_df(
     mapping: dict[str, dict[str, Any]],
     filters: dict[str, Any] | None = None,
     fail_on_unknown: bool = True,
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """The parse pipeline as a DataFrame (no sink): CSV scan -> filename
     decode -> broadcast mapping join -> metadata pre-filter -> wide->long
     -> mean-merge. ``filters`` are metadata pre-filters (reference P5,
     helper_functions.py:131-142): {column: value | [values]} over
     entity/entity_type/resource_type/parent/reference_year, or a
-    reference-style Solar/Wind/DemandMetadataFilter model."""
+    reference-style Solar/Wind/DemandMetadataFilter model. ``wide``:
+    pre-built scan frame — parse_traces passes its own so the input
+    directory is listed exactly once."""
     if filters is not None and hasattr(filters, "model_dump"):
         # reference-style Solar/Wind/DemandMetadataFilter model
         # (solar_traces.py:24-55) -> parse dim columns
         filters = metadata_filter_to_parse_dims(filters)
-    wide = read_wide_trace_csvs(spark, input_directory)
+    if wide is None:
+        wide = read_wide_trace_csvs(spark, input_directory)
     decoded = decode_trace_filename(wide)
 
     dim = build_name_mapping_df(spark, mapping)
@@ -155,23 +157,18 @@ def parse_traces(
 ) -> dict[str, Any]:
     """End-to-end parse job: :func:`parse_traces_df` + catalog sink
     partitioned by reference_year, entity/datetime-sorted files."""
+    wide = read_wide_trace_csvs(spark, input_directory)
     out = parse_traces_df(
-        spark, input_directory, mapping, filters, fail_on_unknown
+        spark, input_directory, mapping, filters, fail_on_unknown, wide=wide
     )
     # the partition column (reference_year) is a pure function of the
-    # FILENAMES: derive the touched-partition list from the listing so
-    # the snapshot commit is O(partitions touched) with no extra job
-    import re
+    # FILENAMES: derive the touched-partition list from the ONE listing
+    # (shared with the scan above) so the snapshot commit is
+    # O(partitions touched) with no extra job
+    from isp_trace_parser_spark.sources.catalog import hive_partition_rel
 
     years = sorted(
-        {
-            int(m.group(2))
-            for m in (
-                re.match(r"^(.*)_RefYear(\d{4})\.csv$", p.rsplit("/", 1)[-1])
-                for p in read_wide_trace_csvs(spark, input_directory).inputFiles()
-            )
-            if m
-        }
+        {int(m.group(2)) for _base, m in _listing_matches(wide) if m}
     )
     return cat.write(
         out,
@@ -180,5 +177,7 @@ def parse_traces(
         sort_within=["entity", "datetime"],
         mode="dynamic",
         lineage={"stage": "parse", "input_directory": input_directory},
-        touched_partitions=[f"reference_year={y}" for y in years],
+        touched_partitions=[
+            hive_partition_rel(["reference_year"], [y]) for y in years
+        ],
     )

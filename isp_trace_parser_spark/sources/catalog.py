@@ -485,9 +485,10 @@ class Catalog:
             operation="expire",
             lineage={"partition_col": partition_col, "dropped": dropped},
             touched_partitions=[],
-            removed_partitions=[
-                f"{partition_col}={_escape_hive_value(v)}" for v in dropped
-            ],
+            # values arrive in their ON-DISK (already-escaped) form —
+            # the same spelling rmtree matched above and the snapshot
+            # metrics key by; escaping again would corrupt '%' values
+            removed_partitions=[f"{partition_col}={v}" for v in dropped],
         )
 
     def compact(
@@ -514,15 +515,19 @@ class Catalog:
         partitions' files are never read, rewritten, or deleted.
 
         Crash-safety: the replacement files are fully on disk before any
-        original file is removed. A crash leaves either a stray hidden
-        tmp dir (harmless, re-run compaction) or — in the instant
-        between the two renames — the partition parked at
-        ``.<part>.compact_old`` next to the completed tmp copy; no data
-        loss in any interleaving, unlike a table-scoped
-        rmtree-then-rename.
+        original file is removed, and every intermediate state is
+        RECOVERABLE — ``compact()`` begins with a recovery sweep that
+        restores any partition parked at ``.<part>.compact_old`` by an
+        interrupted prior run (and clears stray tmp dirs), so re-running
+        compaction after a crash converges. The unpartitioned-root
+        branch parks the live files in a hidden dir before moving the
+        replacements in (never delete-then-copy). A crash can briefly
+        hide a partition from concurrent readers (dot-dirs are invisible
+        to scans) but can never lose data.
 
         ``partitions``: explicit victim list (relative dirs) overrides
-        metric-based selection. ``target_rows_per_file`` is accepted for
+        metric-based selection; unknown names raise ValueError before
+        anything is rewritten. ``target_rows_per_file`` is accepted for
         back-compat and converted to a bytes target assuming ~64 B/row.
         """
         if self._bucket_spec(name) is not None:
@@ -532,24 +537,28 @@ class Catalog:
             )
         if target_rows_per_file is not None:
             target_file_bytes = max(1, target_rows_per_file * 64)
+        path = self.table_path(name)
+        self._recover_compaction(path)
         snap = self.last_snapshot(name)
-        metrics = (snap or {}).get("partitions") or self._stat_tree(
-            self.table_path(name)
-        )
+        metrics = (snap or {}).get("partitions") or self._stat_tree(path)
 
         def n_target(rel: str) -> int:
             return max(1, -(-metrics[rel]["bytes"] // target_file_bytes))
 
-        victims = (
-            partitions
-            if partitions is not None
-            else [
+        if partitions is not None:
+            unknown = [rel for rel in partitions if rel not in metrics]
+            if unknown:
+                raise ValueError(
+                    f"compact: partitions not in {name}'s snapshot "
+                    f"metrics (need leaf partition dirs): {unknown}"
+                )
+            victims = list(partitions)
+        else:
+            victims = [
                 rel
                 for rel, m in metrics.items()
                 if m["files"] > n_target(rel)
             ]
-        )
-        path = self.table_path(name)
         compacted = []
         for rel in victims:
             pdir = os.path.join(path, rel) if rel else path
@@ -564,24 +573,33 @@ class Catalog:
                     out = out.sortWithinPartitions(*keep)
             d, base = os.path.split(pdir if rel else os.path.join(path, "root"))
             tmp = os.path.join(d, f".{base}.compact_tmp")
+            old = os.path.join(d, f".{base}.compact_old")
             out.write.mode("overwrite").parquet(tmp)
             if rel:
-                old = os.path.join(d, f".{base}.compact_old")
                 os.rename(pdir, old)
                 os.rename(tmp, pdir)
                 shutil.rmtree(old)
             else:
-                # unpartitioned root holds the snapshot log: replace the
-                # parquet files in place instead of swapping the dir
+                # unpartitioned root holds the snapshot log: park the
+                # live files in the hidden old-dir FIRST (recoverable),
+                # then move the replacements in, then drop the parked
+                # copies — originals are never deleted before the
+                # replacement set is fully in place
+                os.makedirs(old, exist_ok=True)
                 for f in os.listdir(path):
                     if f.endswith(".parquet"):
-                        os.remove(os.path.join(path, f))
+                        os.rename(os.path.join(path, f), os.path.join(old, f))
+                # marker = "originals fully parked"; recovery uses it to
+                # tell partial-park (roll old back, keep root) from
+                # partial-move-in (drop root's replacements, restore old)
+                open(os.path.join(old, ".parked"), "w").close()
                 for f in os.listdir(tmp):
                     if f.endswith(".parquet"):
                         os.rename(
                             os.path.join(tmp, f), os.path.join(path, f)
                         )
                 shutil.rmtree(tmp)
+                shutil.rmtree(old)
             compacted.append(rel)
         return self.commit_snapshot(
             name,
@@ -591,6 +609,44 @@ class Catalog:
             lineage={"compacted_partitions": compacted},
             touched_partitions=compacted,
         )
+
+    def _recover_compaction(self, path: str) -> None:
+        """Restore any state left by an interrupted compact(): partitions
+        parked at ``.<part>.compact_old`` are either rolled back (swap
+        never completed) or cleaned up (swap completed, cleanup didn't),
+        and stray tmp dirs are removed. Directory-walk only — no file
+        reads; every interleaving converges to a consistent table."""
+        for root, dirs, _files in os.walk(path):
+            for d in [x for x in dirs if x.startswith(".")]:
+                full = os.path.join(root, d)
+                if d.endswith(".compact_tmp"):
+                    shutil.rmtree(full)
+                elif d.endswith(".compact_old"):
+                    base = d[1 : -len(".compact_old")]
+                    if base == "root":
+                        marker = os.path.join(full, ".parked")
+                        if os.path.exists(marker):
+                            # originals fully parked: whatever parquet
+                            # sits live is a partial replacement set
+                            for f in os.listdir(path):
+                                if f.endswith(".parquet"):
+                                    os.remove(os.path.join(path, f))
+                            os.remove(marker)
+                        for f in os.listdir(full):
+                            if f.endswith(".parquet"):
+                                os.rename(
+                                    os.path.join(full, f),
+                                    os.path.join(path, f),
+                                )
+                        shutil.rmtree(full)
+                    else:
+                        live = os.path.join(root, base)
+                        if os.path.exists(live):
+                            shutil.rmtree(full)  # swap done; drop parked
+                        else:
+                            os.rename(full, live)  # roll back
+            # don't descend into hidden/underscore dirs (just handled)
+            dirs[:] = [x for x in dirs if not x.startswith((".", "_"))]
 
     def drop_table(self, name: str) -> None:
         path = self.table_path(name)

@@ -16,6 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+# the one canonical resource-trace filename pattern
+# (<stem>_RefYear<year>.csv) — shared by the column decode, the
+# listing-based stem validation (parse.py) and the touched-partition
+# derivation, so they can never drift apart
+STEM_RE = r"^(.*)_RefYear(\d{4})\.csv$"
+
 
 def wide_trace_schema(padded: bool = True) -> StructType:
     labels = [f"{i:02d}" if padded else str(i) for i in range(1, 49)]
@@ -61,10 +67,10 @@ def decode_trace_filename(df: DataFrame, col: str = "source_file") -> DataFrame:
     """
     base = F.element_at(F.split(F.col(col), "/"), -1)
     return df.withColumn(
-        "trace_stem", F.regexp_extract(base, r"^(.*)_RefYear(\d{4})\.csv$", 1)
+        "trace_stem", F.regexp_extract(base, STEM_RE, 1)
     ).withColumn(
         "reference_year",
-        F.nullif(F.regexp_extract(base, r"^(.*)_RefYear(\d{4})\.csv$", 2), F.lit("")).cast(
+        F.nullif(F.regexp_extract(base, STEM_RE, 2), F.lit("")).cast(
             "int"
         ),
     )

@@ -227,3 +227,59 @@ def test_hive_partition_rel_escaping():
     assert hive_partition_rel(["k"], [None]) == "k=__HIVE_DEFAULT_PARTITION__"
     assert hive_partition_rel(["k"], ["a:b/c"]) == "k=a%3Ab%2Fc"
     assert hive_partition_rel(["k"], [True]) == "k=true"
+
+
+def test_compact_recovery_all_interleavings(spark, cat):
+    """Every crash window of compact() must be recoverable by the next
+    compact() run with zero data loss (code-review r3 finding)."""
+    import glob
+
+    cat.write(_df(spark), "t", partition_by=["k"], dist_buckets=None)
+    path = cat.table_path("t")
+    rows = cat.read("t").count()
+
+    # crash between the two renames: partition parked at .compact_old,
+    # live dir missing
+    os.rename(os.path.join(path, "k=p0"), os.path.join(path, ".k=p0.compact_old"))
+    cat.compact("t")  # recovery sweep runs first
+    assert cat.read("t").count() == rows
+    assert os.path.isdir(os.path.join(path, "k=p0"))
+    assert not os.path.exists(os.path.join(path, ".k=p0.compact_old"))
+
+    # crash after swap, before cleanup: live dir present AND old parked
+    import shutil as _sh
+
+    _sh.copytree(os.path.join(path, "k=p1"), os.path.join(path, ".k=p1.compact_old"))
+    cat.compact("t")
+    assert cat.read("t").count() == rows
+    assert not os.path.exists(os.path.join(path, ".k=p1.compact_old"))
+
+
+def test_compact_root_recovery_mid_move_in(spark, cat):
+    """Unpartitioned root: crash after parking originals (marker set)
+    and moving SOME replacements in — recovery must restore the
+    originals exactly, dropping partial replacements."""
+    cat.write(_df(spark, 500), "t", repartition=False)
+    path = cat.table_path("t")
+    rows = cat.read("t").count()
+    old = os.path.join(path, ".root.compact_old")
+    os.makedirs(old)
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(path, f), os.path.join(old, f))
+    open(os.path.join(old, ".parked"), "w").close()
+    # a partial replacement file appears live
+    with open(os.path.join(path, "part-partial.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    cat.compact("t")
+    assert cat.read("t").count() == rows
+    assert not os.path.exists(old)
+    assert not os.path.exists(os.path.join(path, "part-partial.parquet"))
+
+
+def test_compact_unknown_partition_raises(spark, cat):
+    cat.write(_df(spark), "t", partition_by=["k"])
+    with pytest.raises(ValueError, match="not in t's snapshot"):
+        cat.compact("t", partitions=["k=p9"])
+    # and nothing was rewritten
+    assert cat.last_snapshot("t")["operation"] == "write:overwrite"
