@@ -100,3 +100,21 @@ def test_language_id_heuristic(spark):
         .tolist()
     )
     assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_json_metadata_typed_and_fail_safe(spark):
+    """from_json parses once into a typed struct; malformed JSON yields
+    NULL fields (PERMISSIVE), never a scan failure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from isp_trace_parser_spark.functions.extract import json_metadata
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"props": ['{"k": 7, "tag": "a"}', "not json", None]})
+    )
+    out = df.select(
+        json_metadata(F.col("props"), "k INT, tag STRING").alias("m")
+    ).select("m.k", "m.tag").toPandas()
+    assert out.iloc[0]["k"] == 7 and out.iloc[0]["tag"] == "a"
+    assert pd.isna(out.iloc[1]["k"]) and pd.isna(out.iloc[2]["k"])
