@@ -38,6 +38,9 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "cosine_topk",
     "text_stats",
+    # round-3 additions: as-of composition + per-source text aggregation
+    "asof_join_nearest",
+    "source_quality_report",
 ]
 
 
