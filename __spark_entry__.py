@@ -1188,6 +1188,32 @@ def q_streaming_sessionize(spark, sf_dir):
     )
 
 
+def q_interval_join_windows(spark, sf_dir):
+    """Range/interval join at scale: views matched into the +-15min
+    window around each same-user purchase. A naive theta-join plans as
+    BroadcastNestedLoopJoin (O(n*m)); interval_join buckets time,
+    explodes intervals to covered cells and equi-joins on (key, cell) —
+    a co-partitioned shuffle join (plan pinned by
+    tests/test_interval_join.py). Oracle is the naive BETWEEN join."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("series"), "ts", F.col("value").alias("lv")
+    )
+    windows = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("series"),
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = interval_join(views, windows, bucket_seconds=900)
+    return out.select(
+        "series", "ts", _q("lv", 4).alias("lv"), "purchase_ts"
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1250,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_rollup": q_json_props_rollup,
         "source_quality_report": q_source_quality_report,
         "streaming_sessionize": q_streaming_sessionize,
+        "interval_join_windows": q_interval_join_windows,
     }
 
 
@@ -1748,6 +1775,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["ann_lsh_topk"] = _ann_lsh_oracle_sql()
     sqls["simhash_fingerprints"] = _simhash_oracle_sql()
     sqls["minhash_lsh_pairs"] = _minhash_oracle_sql()
+    sqls["interval_join_windows"] = """
+        SELECT v.user_id AS series, v.ts, round(v.value, 4) AS lv,
+               p.ts AS purchase_ts
+        FROM (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'view') v
+        JOIN (SELECT user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 15 MINUTE
+         AND v.ts < p.ts + INTERVAL 15 MINUTE"""
     sqls["json_props_rollup"] = """
         SELECT event_type,
                sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
