@@ -1214,6 +1214,30 @@ def q_interval_join_windows(spark, sf_dir):
     )
 
 
+def q_rolling_mean_1h(spark, sf_dir):
+    """Trailing time-RANGE window (the ops-dashboard moving average):
+    per-user mean/count over [ts - 1h, ts], a rangeBetween frame on
+    event-time micros — one shuffle on the partition key, linear frame
+    scan per partition (no self-join). Oracle is DuckDB's RANGE BETWEEN
+    INTERVAL frame; both engines include frame peers and the exact
+    t-1h boundary row."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        _q(F.avg("value").over(w), 4).alias("rolling_avg_1h"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1277,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": q_source_quality_report,
         "streaming_sessionize": q_streaming_sessionize,
         "interval_join_windows": q_interval_join_windows,
+        "rolling_mean_1h": q_rolling_mean_1h,
     }
 
 
@@ -1775,6 +1800,14 @@ def oracle_sql() -> dict[str, str]:
     sqls["ann_lsh_topk"] = _ann_lsh_oracle_sql()
     sqls["simhash_fingerprints"] = _simhash_oracle_sql()
     sqls["minhash_lsh_pairs"] = _minhash_oracle_sql()
+    sqls["rolling_mean_1h"] = """
+        SELECT user_id, ts,
+               round(avg(value) OVER w, 4) AS rolling_avg_1h,
+               count(*) OVER w AS n_in_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)"""
     sqls["interval_join_windows"] = """
         SELECT v.user_id AS series, v.ts, round(v.value, 4) AS lv,
                p.ts AS purchase_ts
