@@ -1238,6 +1238,42 @@ def q_rolling_mean_1h(spark, sf_dir):
     )
 
 
+def q_tier_serving_2h(spark, sf_dir):
+    """Continuous-aggregate SELECT path end-to-end: land events through
+    the real catalog pipeline (ingest -> 30m/1d/1mo tiers with exact
+    decimal partials), then answer a 2-day window at 2h resolution via
+    the TierStore router — which reads the 30m TIER (never the raw
+    table), prunes day partitions, and re-aggregates partials. Oracle
+    aggregates the raw events directly: tier-served points must equal
+    raw-aggregated points exactly."""
+    _prep(spark)
+    import datetime
+    import tempfile
+
+    from isp_trace_parser_spark.pipeline import (
+        ingest_pages,
+        run_rollup_pipeline,
+    )
+    from isp_trace_parser_spark.serving import TierStore
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "value",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="serve_wh_") + "/wh")
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    out = TierStore(cat).series(
+        start=datetime.datetime(2024, 1, 2),
+        end=datetime.datetime(2024, 1, 4),
+        resolution="2h",
+    )
+    return _round_aggs(out)
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1302,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "interval_join_windows": q_interval_join_windows,
         "rolling_mean_1h": q_rolling_mean_1h,
+        "tier_serving_2h": q_tier_serving_2h,
     }
 
 
@@ -1800,6 +1837,13 @@ def oracle_sql() -> dict[str, str]:
     sqls["ann_lsh_topk"] = _ann_lsh_oracle_sql()
     sqls["simhash_fingerprints"] = _simhash_oracle_sql()
     sqls["minhash_lsh_pairs"] = _minhash_oracle_sql()
+    sqls["tier_serving_2h"] = f"""
+        SELECT CAST(user_id AS VARCHAR) AS series,
+               {_bucket_sql("ts", 7200)} AS bucket_ts, {_AGG_SQL}
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-02 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-04 00:00:00'
+        GROUP BY 1, 2"""
     sqls["rolling_mean_1h"] = """
         SELECT user_id, ts,
                round(avg(value) OVER w, 4) AS rolling_avg_1h,

@@ -131,6 +131,7 @@ def run_rollup_pipeline(
     block_size: str = "7 days",
     bucketed_tiers: bool = False,
     tier_buckets: int = 16,
+    sum_cast: str | None = None,
 ) -> PipelineResult:
     """``block_size``: Gorilla block span. Weekly blocks (336 half-hour
     points) amortize per-block overhead and compress better than daily
@@ -143,6 +144,12 @@ def run_rollup_pipeline(
     with ZERO exchanges (docs/DESIGN.md). Off by default: identical
     results either way (tests/test_pipeline.py pins parity), flip on
     when the tier tables are query-serving hot paths.
+
+    ``sum_cast``: e.g. ``rollup.DEC`` stores EXACT decimal partial sums
+    in every tier — summation-order-independent, so tier points are
+    bit-identical across parallelism levels and engines (serving.py
+    queries against an oracle rely on this; see docs/DESIGN.md "Number
+    formats").
     """
     res = PipelineResult()
 
@@ -219,7 +226,9 @@ def run_rollup_pipeline(
         "agg_30m",
         raw_table,
         "day_bucket",
-        lambda src: rollup.rollup_raw(src, "url", "warc_ts", "value").withColumn(
+        lambda src: rollup.rollup_raw(
+            src, "url", "warc_ts", "value", sum_cast=sum_cast
+        ).withColumn(
             "day_bucket", F.to_date(F.col("bucket_ts") - F.expr("INTERVAL 1 SECOND"))
         ),
         partition_by=["day_bucket"],

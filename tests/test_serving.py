@@ -1,0 +1,86 @@
+"""Tier-aware serving router: tier selection, re-aggregation parity,
+partition pruning."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from isp_trace_parser_spark import synth
+from isp_trace_parser_spark.operators.rollup import DEC, rollup_raw
+from isp_trace_parser_spark.pipeline import ingest_pages, run_rollup_pipeline
+from isp_trace_parser_spark.serving import TierStore, resolution_seconds
+from isp_trace_parser_spark.sources.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("serve") / "wh"))
+    pages = synth.pages(spark, n_urls=6, n_slots=48 * 6, gap_pct=5).select(
+        "url", "warc_ts", "value"
+    )
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    return cat, pages
+
+
+def test_resolution_parse():
+    assert resolution_seconds("30m") == 1800
+    assert resolution_seconds("2h") == 7200
+    assert resolution_seconds("1d") == 86400
+    with pytest.raises(ValueError):
+        resolution_seconds("1mo")  # handled as a literal tier, not seconds
+
+
+def test_serving_matches_raw_rollup(spark, store):
+    cat, pages = store
+    ts0 = pages.agg(F.min("warc_ts")).first()[0]
+    start = ts0.replace(hour=0, minute=0, second=0) + datetime.timedelta(days=1)
+    end = start + datetime.timedelta(days=2)
+    got = (
+        TierStore(cat)
+        .series(start=start, end=end, resolution="2h")
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_raw(
+            pages.where(
+                (F.col("warc_ts") > F.lit(start)) & (F.col("warc_ts") <= F.lit(end))
+            ),
+            "url", "warc_ts", "value", 7200, DEC,
+        )
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    # decimal partials make the comparison exact, not approximate
+    for c in ("avg_value", "sum_value", "cnt_value", "min_value", "max_value"):
+        assert (got[c] == want[c]).all(), c
+
+
+def test_serving_exact_tier_passthrough(spark, store):
+    cat, pages = store
+    got = TierStore(cat).series(resolution="1d")
+    # res == tier: served straight from agg_1d, no re-aggregation
+    assert got.count() == cat.read("agg_1d").count()
+
+
+def test_serving_prunes_partitions(spark, store):
+    cat, pages = store
+    ts0 = pages.agg(F.min("warc_ts")).first()[0]
+    start = ts0.replace(hour=0, minute=0, second=0) + datetime.timedelta(days=1)
+    end = start + datetime.timedelta(days=1)
+    df = TierStore(cat).series(start=start, end=end, resolution="2h")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day_bucket" in plan
+
+
+def test_serving_rejects_unservable_resolution(spark, store):
+    cat, _ = store
+    with pytest.raises(ValueError, match="no stored tier"):
+        TierStore(cat).series(resolution="45m")
