@@ -48,7 +48,14 @@ for name in ["rollup_30m", "rollup_1mo", "window_fy", "gapfill_30m",
              # filename decode
              "parse_csv_to_long", "streaming_rollup_30m",
              "partitioned_sink_roundtrip", "dedup_clusters",
-             "legacy_v1_read", "topk_per_group"]:
+             "legacy_v1_read", "topk_per_group",
+             # session-sensitive round-3 rows: session-window watermark
+             # ltz casts, interval-join micros bucketing, time-RANGE
+             # window frame, tier pipeline + serving window literals,
+             # asof nearest gap arithmetic, demand CSV make_timestamp
+             "streaming_sessionize", "interval_join_windows",
+             "rolling_mean_1h", "tier_serving_2h", "asof_join_nearest",
+             "parse_demand_csv"]:
     got = queries[name](spark, "/root/testdata/sf0.01").toPandas()
     want = con.execute(oracles[name]).df()
     assert len(got) == len(want), (name, len(got), len(want))
