@@ -1274,6 +1274,75 @@ def q_tier_serving_2h(spark, sf_dir):
     return _round_aggs(out)
 
 
+def q_tiered_retention(spark, sf_dir):
+    """Tiered retention end-to-end (north_rule: "tiered retention that
+    downsamples and expires old partitions"): land events-as-pages, run
+    the 30m/1d/1mo continuous-aggregate cascade, then expire raw day
+    partitions older than 5 days and 30m day partitions older than 15
+    days as of a FIXED now (2024-01-31; no wall-clock reads — runs are
+    reproducible). Result: one summary row per tier AFTER expiry. The
+    oracle recomputes each tier's post-expiry contents from raw events
+    in SQL, which pins both halves of the rule: coarse tiers retain the
+    full history the fine tiers have expired (agg_1d/agg_1mo still
+    cover all 1000*sf points), and expiry is partition-granular (the
+    surviving raw/30m rows are exactly the rows at/after each cutoff —
+    no rewrite, no partial-day loss)."""
+    _prep(spark)
+    import datetime
+    import tempfile
+
+    from isp_trace_parser_spark.operators.retention import RetentionPolicy
+    from isp_trace_parser_spark.pipeline import (
+        ingest_pages,
+        run_rollup_pipeline,
+    )
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "value",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="retain_wh_") + "/wh")
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(
+        spark,
+        cat,
+        encode_blocks=False,
+        sum_cast=DEC,
+        policy=RetentionPolicy(
+            raw_keep_days=5, t30_keep_days=15, t1d_keep_months=0
+        ),
+        now=datetime.datetime(2024, 1, 31),
+    )
+
+    def tier_summary(name, table, ts_col, points_col=None):
+        df = cat.read(table)
+        n_points = (
+            F.sum(points_col).alias("n_points")
+            if points_col
+            else F.count("value").alias("n_points")
+        )
+        sum_col = "sum_value" if points_col else "value"
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            n_points,
+            _q(F.sum(F.col(sum_col).cast(DEC)).cast("double"), 2).alias(
+                "sum_value"
+            ),
+            F.min(ts_col).alias("min_ts"),
+            F.max(ts_col).alias("max_ts"),
+        ).select(F.lit(name).alias("tier"), "*")
+
+    return (
+        tier_summary("raw", "pages", "warc_ts")
+        .unionAll(tier_summary("agg_30m", "agg_30m", "bucket_ts", "cnt_value"))
+        .unionAll(tier_summary("agg_1d", "agg_1d", "bucket_ts", "cnt_value"))
+        .unionAll(tier_summary("agg_1mo", "agg_1mo", "bucket_ts", "cnt_value"))
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1339,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_windows": q_interval_join_windows,
         "rolling_mean_1h": q_rolling_mean_1h,
         "tier_serving_2h": q_tier_serving_2h,
+        "tiered_retention": q_tiered_retention,
     }
 
 
@@ -1926,6 +1996,54 @@ def oracle_sql() -> dict[str, str]:
     sqls["streaming_gapfill_30m"] = sqls["gapfill_30m"].replace(
         "SELECT user_id AS series", "SELECT CAST(user_id AS VARCHAR) AS series"
     )
+    # Tiered retention: recompute every tier's post-expiry contents from
+    # raw events. Cutoffs mirror RetentionPolicy(raw=5d, 30m=15d, 1d=0mo)
+    # at now=2024-01-31; day_bucket uses the end-of-period convention
+    # (ts - 1s), identical to plans/partitioning.day_bucket.
+    b30us, b1dus = SEC_30M * 1_000_000, SEC_1D * 1_000_000
+    sqls["tiered_retention"] = f"""
+        WITH raw AS (
+          SELECT CAST(user_id AS VARCHAR) AS series, ts, value,
+                 CAST(ts - INTERVAL 1 SECOND AS DATE) AS day_bucket
+          FROM events
+        ),
+        t30 AS (
+          SELECT series,
+                 make_timestamp(((epoch_us(ts) + {b30us - 1}) // {b30us}) * {b30us}) AS bucket_ts,
+                 sum(CAST(value AS DECIMAL(20,4))) AS sum_value,
+                 count(value) AS cnt_value
+          FROM raw GROUP BY 1, 2
+        ),
+        t1d AS (
+          SELECT series,
+                 make_timestamp(((epoch_us(ts) + {b1dus - 1}) // {b1dus}) * {b1dus}) AS bucket_ts,
+                 sum(CAST(value AS DECIMAL(20,4))) AS sum_value,
+                 count(value) AS cnt_value
+          FROM raw GROUP BY 1, 2
+        ),
+        t1mo AS (
+          SELECT series,
+                 date_trunc('month', ts - INTERVAL 1 MICROSECOND) + INTERVAL 1 MONTH AS bucket_ts,
+                 sum(CAST(value AS DECIMAL(20,4))) AS sum_value,
+                 count(value) AS cnt_value
+          FROM raw GROUP BY 1, 2
+        )
+        SELECT 'raw' AS tier, count(*) AS n_rows, count(value) AS n_points,
+               round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_value,
+               min(ts) AS min_ts, max(ts) AS max_ts
+        FROM raw WHERE day_bucket >= DATE '2024-01-26'
+        UNION ALL
+        SELECT 'agg_30m', count(*), sum(cnt_value),
+               round(CAST(sum(sum_value) AS DOUBLE), 2), min(bucket_ts), max(bucket_ts)
+        FROM t30 WHERE CAST(bucket_ts - INTERVAL 1 SECOND AS DATE) >= DATE '2024-01-16'
+        UNION ALL
+        SELECT 'agg_1d', count(*), sum(cnt_value),
+               round(CAST(sum(sum_value) AS DOUBLE), 2), min(bucket_ts), max(bucket_ts)
+        FROM t1d
+        UNION ALL
+        SELECT 'agg_1mo', count(*), sum(cnt_value),
+               round(CAST(sum(sum_value) AS DOUBLE), 2), min(bucket_ts), max(bucket_ts)
+        FROM t1mo"""
     # P5 variant: identical parse oracle with the metadata pre-filter
     sqls["parse_csv_filtered"] = sqls["parse_csv_to_long"].replace(
         "FROM long GROUP BY ALL",
