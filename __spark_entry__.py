@@ -1343,6 +1343,63 @@ def q_tiered_retention(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup for live-crawl ingest
+    (streaming/dedup_stream.py) vs a batch DISTINCT oracle: documents
+    stream in with a deterministic event time plus an in-horizon
+    re-crawl of every 5th doc (+10 min); dropDuplicatesWithinWatermark
+    keeps the FIRST arrival per 128-bit content key, so the appended
+    output is exactly one row per distinct text. Only content-derived
+    columns are returned (md5 + length recomputed from the text), so
+    the value hash is identical no matter which replica wins the race —
+    duplicate doc_ids at larger SFs carry different stored lang/n_chars
+    and would otherwise be winner-dependent."""
+    _prep(spark)
+    import tempfile
+    import uuid
+
+    from isp_trace_parser_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # deterministic synthetic crawl time: 2024-01-01 + doc_id seconds
+    base = stream.withColumn(
+        "crawl_ts",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).cast(
+            "timestamp_ntz"
+        ),
+    )
+    recrawl = base.where(F.col("doc_id") % 5 == 0).withColumn(
+        "crawl_ts", F.col("crawl_ts") + F.expr("INTERVAL 10 MINUTES")
+    )
+    deduped = streaming_exact_dedup(
+        base.unionByName(recrawl),
+        text_col="text",
+        ts_col="crawl_ts",
+        watermark="1 hour",
+    )
+    qname = f"streamdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckdd_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1409,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_mean_1h": q_rolling_mean_1h,
         "tier_serving_2h": q_tier_serving_2h,
         "tiered_retention": q_tiered_retention,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -2044,6 +2102,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'agg_1mo', count(*), sum(cnt_value),
                round(CAST(sum(sum_value) AS DOUBLE), 2), min(bucket_ts), max(bucket_ts)
         FROM t1mo"""
+    # Streaming dedup: first-arrival-wins over (documents + in-horizon
+    # re-crawls) == one row per distinct text; md5/length recomputed
+    # from the text make the row winner-invariant.
+    sqls["streaming_dedup"] = """
+        SELECT md5(text) AS content_md5,
+               CAST(length(text) AS BIGINT) AS text_len
+        FROM (SELECT DISTINCT text FROM documents)"""
     # P5 variant: identical parse oracle with the metadata pre-filter
     sqls["parse_csv_filtered"] = sqls["parse_csv_to_long"].replace(
         "FROM long GROUP BY ALL",
