@@ -1400,6 +1400,51 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus stats over messy crawl URLs
+    (functions/web.py — pure Catalyst regexp/string exprs, no UDF).
+    URLs are built deterministically from documents with real-world
+    noise: mixed-case scheme/host, userinfo, explicit :443 port, query
+    strings, fragments. The engine must canonicalize (lowercase, strip
+    userinfo/port/fragment, keep query), extract the registered domain,
+    and aggregate — the measurement side of the hot-domain-skew loop
+    (plans/partitioning.salted). Oracle reparses identically in DuckDB
+    SQL (RE2 regexps)."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions import web
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 11 == 0, F.lit("bot:pw@")).otherwise(F.lit("")),
+        F.lit("WWW."),
+        F.col("source"),
+        F.lit(".COM"),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        (d % 7).cast("string"),
+        F.lit("/doc-"),
+        d.cast("string"),
+        F.when(d % 4 == 0, F.concat(F.lit("?ref="), F.col("lang"))).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    parsed = web.with_url_parts(docs.withColumn("url", url))
+    return parsed.groupBy(F.col("url_domain").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("url_normalized").alias("n_urls"),
+        F.max("url_depth").cast("long").alias("max_depth"),
+        _q(
+            F.sum(F.length("text").cast(DEC)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_len"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1467,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_serving_2h": q_tier_serving_2h,
         "tiered_retention": q_tiered_retention,
         "streaming_dedup": q_streaming_dedup,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -2102,6 +2148,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'agg_1mo', count(*), sum(cnt_value),
                round(CAST(sum(sum_value) AS DOUBLE), 2), min(bucket_ts), max(bucket_ts)
         FROM t1mo"""
+    # Per-domain stats over messy crawl URLs: the oracle rebuilds the
+    # same deterministic URLs and reparses them with RE2 regexps
+    # mirroring functions/web.py's Catalyst expressions. Path depth =
+    # '/' count (valid here: constructed paths have no trailing or
+    # doubled slashes).
+    sqls["domain_stats"] = r"""
+        WITH u AS (
+          SELECT doc_id, text,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+            (CASE WHEN doc_id % 11 = 0 THEN 'bot:pw@' ELSE '' END) ||
+            'WWW.' || source || '.COM' ||
+            (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+            '/Articles/' || CAST(doc_id % 7 AS VARCHAR) || '/doc-' ||
+            CAST(doc_id AS VARCHAR) ||
+            (CASE WHEN doc_id % 4 = 0 THEN '?ref=' || lang ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, text,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_replace(regexp_replace(
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+              '^[^@]*@', ''), ':[0-9]*$', '')) AS host,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+            regexp_extract(url, '\?([^#]*)', 1) AS query
+          FROM u
+        ),
+        n AS (
+          SELECT doc_id, text,
+            regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+            length(path) - length(replace(path, '/', '')) AS depth,
+            scheme || '://' || host || path ||
+            (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS normalized
+          FROM p
+        )
+        SELECT domain, count(*) AS n_docs,
+               count(DISTINCT normalized) AS n_urls,
+               CAST(max(depth) AS BIGINT) AS max_depth,
+               round(CAST(sum(CAST(length(text) AS DECIMAL(20,4))) AS DOUBLE)
+                     / count(*), 4) AS mean_len
+        FROM n GROUP BY domain"""
     # Streaming dedup: first-arrival-wins over (documents + in-horizon
     # re-crawls) == one row per distinct text; md5/length recomputed
     # from the text make the row winner-invariant.
