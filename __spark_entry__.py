@@ -1445,6 +1445,85 @@ def q_domain_stats(spark, sf_dir):
     )
 
 
+def q_outlink_stats(spark, sf_dir):
+    """HTML outlink extraction -> per-target-domain link graph stats:
+    regexp_extract_all over deterministic per-doc HTML (1-2 anchors,
+    mixed-case schemes/hosts), canonicalized with functions/web.py's
+    host/domain expressions, aggregated per linked registered domain.
+    All JVM-side (regexp_extract_all + explode; no UDF). Oracle
+    rebuilds the HTML and reparses with DuckDB regexp_extract_all +
+    unnest."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions import web
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>'),
+        F.col("text"),
+        F.lit('</p><a href="https://'),
+        F.col("source"),
+        F.lit(".COM/next/"),
+        (d + 1).cast("string"),
+        F.lit('">n</a>'),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<a class="x" href="HTTP://Partner-'),
+                (d % 13).cast("string"),
+                F.lit('.org/ref">p</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    links = (
+        docs.withColumn("html", html)
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1)
+            ).alias("link"),
+        )
+    )
+    return links.groupBy(
+        web.registered_domain(F.col("link")).alias("link_domain")
+    ).agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def q_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction roundtrip: land events across 4 appends
+    (accreting small files per day partition), run the partition-scoped
+    atomic compact (Iceberg rewrite_data_files analog — victims chosen
+    from snapshot metrics, rewritten into hidden tmp dirs, two-rename
+    swap), then read back. Compaction must be a pure physical re-layout:
+    the readback equals a plain SELECT of the source, bit-for-bit."""
+    _prep(spark)
+    import tempfile
+
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="compact_rt_"))
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    for i in range(4):
+        cat.write(
+            ev.where(F.pmod(F.col("event_id"), F.lit(4)) == i),
+            "ev",
+            partition_by=["day"],
+            sort_within=["user_id", "ts"],
+            mode="overwrite" if i == 0 else "append",
+        )
+    cat.compact("ev", sort_within=["user_id", "ts"], target_rows_per_file=10_000)
+    back = cat.read("ev")
+    return back.select(
+        "user_id", "event_id", "ts", _q("value", 4).alias("value"), "day"
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1513,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_retention": q_tiered_retention,
         "streaming_dedup": q_streaming_dedup,
         "domain_stats": q_domain_stats,
+        "outlink_stats": q_outlink_stats,
+        "compact_roundtrip": q_compact_roundtrip,
     }
 
 
@@ -2190,6 +2271,41 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CAST(length(text) AS DECIMAL(20,4))) AS DOUBLE)
                      / count(*), 4) AS mean_len
         FROM n GROUP BY domain"""
+    # Outlink graph: rebuild the deterministic HTML, extract every href,
+    # canonicalize host -> registered domain exactly as functions/web.py.
+    sqls["outlink_stats"] = r"""
+        WITH h AS (
+          SELECT doc_id,
+            '<html><body><p>' || text || '</p><a href="https://' || source ||
+            '.COM/next/' || CAST(doc_id + 1 AS VARCHAR) || '">n</a>' ||
+            (CASE WHEN doc_id % 3 = 0
+                  THEN '<a class="x" href="HTTP://Partner-' ||
+                       CAST(doc_id % 13 AS VARCHAR) || '.org/ref">p</a>'
+                  ELSE '' END) ||
+            '</body></html>' AS html
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS link
+          FROM h
+        ),
+        p AS (
+          SELECT doc_id,
+            lower(regexp_replace(regexp_replace(
+              regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+              '^[^@]*@', ''), ':[0-9]*$', '')) AS host
+          FROM l
+        )
+        SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS link_domain,
+               count(*) AS n_links,
+               count(DISTINCT doc_id) AS n_docs
+        FROM p GROUP BY 1"""
+    # Compaction is a physical re-layout only: readback == plain SELECT.
+    sqls["compact_roundtrip"] = """
+        SELECT user_id, event_id, ts, round(value, 4) AS value,
+               strftime(ts, '%Y-%m-%d') AS day
+        FROM events"""
     # Streaming dedup: first-arrival-wins over (documents + in-horizon
     # re-crawls) == one row per distinct text; md5/length recomputed
     # from the text make the row winner-invariant.
