@@ -1524,6 +1524,67 @@ def q_compact_roundtrip(spark, sf_dir):
     )
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per (series, 30m bucket) for irregular
+    samples (operators/timeseries.py — TimescaleDB time_weight analog):
+    LOCF hold clipped to the bucket end, exact decimal x micros
+    arithmetic so the weighted sums are order- and engine-independent.
+    Oracle mirrors the lead-window + weighted-sum in DuckDB SQL."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(
+        ev, "event_type", "ts", "value", "event_id", 1800, sum_cast=DEC
+    )
+    return out.select(
+        "series", "bucket_ts", _q("twa_value", 4).alias("twa_value"),
+        "n_samples",
+    )
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (series, 30m pixel bucket) the min/max/first/last values — a single
+    map-side-combinable aggregation (first/last ride on min/max of a
+    (time, tiebreak, value) struct). Oracle uses row_number windows."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.timeseries import m4_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    out = m4_downsample(ev, "event_type", "ts", "value", "event_id", 1800)
+    return out.select(
+        "series",
+        "bucket_ts",
+        _q("min_value", 4).alias("min_value"),
+        _q("max_value", 4).alias("max_value"),
+        _q("first_value", 4).alias("first_value"),
+        _q("last_value", 4).alias("last_value"),
+    )
+
+
+def q_counter_rate(spark, sf_dir):
+    """PromQL-style counter increase per (series, 30m bucket): positive
+    deltas summed, a value drop treated as a counter reset contributing
+    the post-reset value. Exact decimal lag/delta arithmetic; oracle is
+    the same lag window + CASE in DuckDB."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.timeseries import counter_rate
+
+    ev = _t(spark, sf_dir, "events")
+    out = counter_rate(
+        ev, "event_type", "ts", "value", "event_id", 1800, sum_cast=DEC
+    )
+    return out.select(
+        "series",
+        "bucket_ts",
+        _q(F.col("increase").cast("double"), 4).alias("increase"),
+        "n_samples",
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1594,6 +1655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "outlink_stats": q_outlink_stats,
         "compact_roundtrip": q_compact_roundtrip,
+        "time_weighted_avg": q_time_weighted_avg,
+        "m4_downsample": q_m4_downsample,
+        "counter_rate": q_counter_rate,
     }
 
 
@@ -2271,6 +2335,67 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CAST(length(text) AS DECIMAL(20,4))) AS DOUBLE)
                      / count(*), 4) AS mean_len
         FROM n GROUP BY domain"""
+    # Irregular-series analytics (operators/timeseries.py): the oracles
+    # mirror the window + exact-decimal arithmetic; ties broken by
+    # event_id in both engines so lead/lag are reproducible.
+    sqls["time_weighted_avg"] = f"""
+        WITH s AS (
+          SELECT event_type AS series, ts, event_id,
+                 CAST(value AS DECIMAL(20,4)) AS v,
+                 {_bucket_sql("ts", SEC_30M)} AS bucket_ts,
+                 lead(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                 ) AS next_us
+          FROM events
+        ),
+        h AS (
+          SELECT series, bucket_ts, v,
+                 least(coalesce(next_us, epoch_us(bucket_ts)),
+                       epoch_us(bucket_ts)) - epoch_us(ts) AS held
+          FROM s
+        )
+        SELECT series, bucket_ts,
+               round(CASE WHEN sum(held) > 0
+                     THEN CAST(sum(v * held) AS DOUBLE) / sum(held)
+                     ELSE CAST(sum(v) AS DOUBLE) / count(*) END, 4) AS twa_value,
+               count(*) AS n_samples
+        FROM h GROUP BY 1, 2"""
+    sqls["m4_downsample"] = f"""
+        WITH b AS (
+          SELECT event_type AS series, ts, event_id, value,
+                 {_bucket_sql("ts", SEC_30M)} AS bucket_ts
+          FROM events
+        ),
+        s AS (
+          SELECT series, bucket_ts, value,
+                 row_number() OVER (PARTITION BY series, bucket_ts
+                                    ORDER BY ts, event_id) AS ra,
+                 row_number() OVER (PARTITION BY series, bucket_ts
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM b
+        )
+        SELECT series, bucket_ts,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               round(max(CASE WHEN ra = 1 THEN value END), 4) AS first_value,
+               round(max(CASE WHEN rd = 1 THEN value END), 4) AS last_value
+        FROM s GROUP BY 1, 2"""
+    sqls["counter_rate"] = f"""
+        WITH s AS (
+          SELECT event_type AS series,
+                 {_bucket_sql("ts", SEC_30M)} AS bucket_ts,
+                 CAST(value AS DECIMAL(20,4)) AS v,
+                 lag(CAST(value AS DECIMAL(20,4))) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                 ) AS pv
+          FROM events
+        )
+        SELECT series, bucket_ts,
+               round(CAST(sum(CASE WHEN pv IS NULL THEN 0
+                                   WHEN v >= pv THEN v - pv
+                                   ELSE v END) AS DOUBLE), 4) AS increase,
+               count(*) AS n_samples
+        FROM s GROUP BY 1, 2"""
     # Outlink graph: rebuild the deterministic HTML, extract every href,
     # canonicalize host -> registered domain exactly as functions/web.py.
     sqls["outlink_stats"] = r"""

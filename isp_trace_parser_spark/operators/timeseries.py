@@ -1,0 +1,180 @@
+"""Irregular-series analytics beyond plain bucket rollups: time-weighted
+averages, M4 visualization downsampling, and counter-rate (monotonic
+counter increase with reset handling).
+
+The reference's traces are regular half-hourly grids, so its mean is an
+unweighted mean (trace_restructure_helper_functions.py:32-37). Real
+crawl/trace feeds are IRREGULAR — a page re-crawled 3 times in one
+half-hour then not for a week — and an unweighted mean over-weights
+bursts. These operators are the standard remedies (TimescaleDB
+``time_weight``, the M4 downsampling operator from Jugel et al., VLDB
+2014, and PromQL ``increase``), re-expressed as Catalyst window + agg
+expressions.
+
+Scale notes:
+- All three are one shuffle each: a window partitioned by series (the
+  storage bucketing key — zero exchange when read from a bucketed tier
+  table) followed by a groupBy on (series, bucket) that AQE coalesces.
+- Exact integer microsecond math throughout (unix_micros), no float
+  time arithmetic: results are engine-portable and oracle-able.
+- No UDFs; everything stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from isp_trace_parser_spark.operators.rollup import bucket_end
+
+
+def _series_window(series_col: str, ts_col: str, tiebreak_col: str) -> Window:
+    """Deterministic per-series time order: ties on the timestamp are
+    broken by a unique id so lead/lag are reproducible across engines
+    and parallelism levels."""
+    return Window.partitionBy(series_col).orderBy(ts_col, tiebreak_col)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int = 1800,
+    sum_cast: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per (series, bucket) for irregular samples.
+
+    LOCF weighting: each sample holds its value until the next sample of
+    the same series, clipped to the bucket end; the bucket's TWA is
+    sum(value * held_micros) / sum(held_micros). A bucket whose samples
+    all share one timestamp (zero total hold inside the bucket) falls
+    back to the plain mean of those samples.
+
+    One window (series time order) + one groupBy — the window partition
+    key equals the tier tables' bucket key, so reading from a bucketed
+    tier runs exchange-free.
+
+    ``sum_cast`` (e.g. ``rollup.DEC``): cast values to decimal BEFORE
+    weighting, making the weighted sum exact integer-scaled arithmetic
+    (decimal x bigint micros) — summation-order independent, so results
+    are bit-identical across parallelism levels and engines. Same
+    opt-in and 4-fractional-digit caveat as rollup.rollup_raw.
+    """
+    w = _series_window(series_col, ts_col, tiebreak_col)
+    ts = F.col(ts_col)
+    bucket = bucket_end(ts, bucket_seconds)
+    t_us = F.unix_micros(ts.cast("timestamp_ltz"))
+    next_us = F.lead(t_us).over(w)
+    end_us = F.unix_micros(bucket.cast("timestamp_ltz"))
+    held = F.least(F.coalesce(next_us, end_us), end_us) - t_us
+    v = F.col(value_col)
+    if sum_cast:
+        v = v.cast(sum_cast)
+    agg = (
+        df.select(
+            F.col(series_col).alias("series"),
+            bucket.alias("bucket_ts"),
+            v.alias("_v"),
+            held.alias("_held"),
+        )
+        .groupBy("series", "bucket_ts")
+        .agg(
+            F.sum(F.col("_v") * F.col("_held")).alias("_wsum"),
+            F.sum("_held").alias("_w"),
+            (
+                F.sum("_v").cast("double") / F.count(F.lit(1))
+            ).alias("_plain"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    twa = F.when(
+        F.col("_w") > 0, F.col("_wsum").cast("double") / F.col("_w")
+    ).otherwise(F.col("_plain"))
+    return agg.select(
+        "series", "bucket_ts", twa.alias("twa_value"), "n_samples"
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int = 1800,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, pixel
+    bucket) keep min, max, first and last value — the 4 points that make
+    a line rendering of the bucket pixel-exact. First/last are by
+    (ts, tiebreak) order, so the result is deterministic under ties.
+
+    Single aggregation, no window: first/last ride on min/max of a
+    (time-key, value) struct, max/min on value — all map-side partial
+    aggregable, which is what lets this run as one pass over 100 TB.
+    """
+    ts = F.col(ts_col)
+    bucket = bucket_end(ts, bucket_seconds)
+    # unique, order-preserving sort key: (ts, tiebreak) as a struct
+    okey = F.struct(
+        F.unix_micros(ts.cast("timestamp_ltz")).alias("t"),
+        F.col(tiebreak_col).alias("k"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        df.select(
+            F.col(series_col).alias("series"),
+            bucket.alias("bucket_ts"),
+            F.col(value_col).alias("_v"),
+            okey.alias("_ok"),
+        )
+        .groupBy("series", "bucket_ts")
+        .agg(
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+            F.min("_ok").getField("v").alias("first_value"),
+            F.max("_ok").getField("v").alias("last_value"),
+        )
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int = 1800,
+    sum_cast: str | None = None,
+) -> DataFrame:
+    """Per-(series, bucket) counter increase, PromQL-``increase`` style:
+    sum of positive deltas between consecutive samples; a drop in the
+    raw value is a COUNTER RESET, contributing the post-reset value
+    (the counter restarted from 0 and climbed back to v). The first
+    sample of a series contributes nothing (no predecessor).
+
+    One lag window per series + one groupBy, same exchange profile as
+    :func:`time_weighted_avg`. ``sum_cast``: cast values to decimal
+    BEFORE the lag so deltas and their sum are exact (order- and
+    engine-independent).
+    """
+    w = _series_window(series_col, ts_col, tiebreak_col)
+    v = F.col(value_col)
+    if sum_cast:
+        v = v.cast(sum_cast)
+    prev = F.lag(v).over(w)
+    zero = F.lit(0).cast(sum_cast) if sum_cast else F.lit(0.0)
+    delta = F.when(prev.isNull(), zero).otherwise(
+        F.when(v >= prev, v - prev).otherwise(v)
+    )
+    bucket = bucket_end(F.col(ts_col), bucket_seconds)
+    return (
+        df.select(
+            F.col(series_col).alias("series"),
+            bucket.alias("bucket_ts"),
+            delta.alias("_d"),
+        )
+        .groupBy("series", "bucket_ts")
+        .agg(F.sum("_d").alias("increase"), F.count(F.lit(1)).alias("n_samples"))
+    )

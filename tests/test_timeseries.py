@@ -1,0 +1,133 @@
+"""operators/timeseries.py — TWA, M4 downsample, counter rate on
+handcrafted series with known answers."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from isp_trace_parser_spark.operators import timeseries
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _df(spark, rows):
+    """rows: (series, seconds_after_T0, value)."""
+    pdf = pd.DataFrame(
+        {
+            "series": [r[0] for r in rows],
+            "ts": pd.Series(
+                [T0 + datetime.timedelta(seconds=r[1]) for r in rows],
+                dtype="datetime64[us]",
+            ),
+            "value": [float(r[2]) for r in rows],
+            "uid": range(len(rows)),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_twa_weights_by_hold_time(spark):
+    # bucket (00:00, 30:00]: v=10 held 0->1200s... samples at t=0s? use
+    # t=1s (bucket (−30m,0] would catch t=0 exactly; end-label (0,1800])
+    # v=10 at t=60 held until t=660 (600s), v=20 at t=660 held to bucket
+    # end 1800 (1140s). TWA = (10*600 + 20*1140) / 1740 = 16.551724...
+    df = _df(spark, [("a", 60, 10.0), ("a", 660, 20.0)])
+    out = timeseries.time_weighted_avg(
+        df, "series", "ts", "value", "uid", 1800
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["bucket_ts"] == datetime.datetime(2024, 1, 1, 0, 30)
+    assert out[0]["twa_value"] == pytest.approx(
+        (10 * 600 + 20 * 1140) / 1740.0
+    )
+    assert out[0]["n_samples"] == 2
+
+
+def test_twa_next_sample_beyond_bucket_clips_to_bucket_end(spark):
+    # second sample lands in the NEXT bucket: first sample's hold clips
+    # at its own bucket end; each bucket averages only its own samples.
+    df = _df(spark, [("a", 60, 10.0), ("a", 2000, 50.0)])
+    out = {
+        r["bucket_ts"]: r["twa_value"]
+        for r in timeseries.time_weighted_avg(
+            df, "series", "ts", "value", "uid", 1800
+        ).collect()
+    }
+    assert out[datetime.datetime(2024, 1, 1, 0, 30)] == pytest.approx(10.0)
+    assert out[datetime.datetime(2024, 1, 1, 1, 0)] == pytest.approx(50.0)
+
+
+def test_twa_all_samples_at_one_instant_falls_back_to_mean(spark):
+    # zero total hold (both at bucket end) -> plain mean fallback
+    df = _df(spark, [("a", 1800, 10.0), ("a", 1800, 30.0)])
+    out = timeseries.time_weighted_avg(
+        df, "series", "ts", "value", "uid", 1800
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["twa_value"] == pytest.approx(20.0)
+
+
+def test_m4_min_max_first_last_with_ties(spark):
+    # two samples share ts=100: uid breaks the tie -> first is uid=0
+    df = _df(
+        spark,
+        [
+            ("a", 100, 5.0),
+            ("a", 100, 1.0),
+            ("a", 200, 9.0),
+            ("a", 300, 2.0),
+        ],
+    )
+    row = timeseries.m4_downsample(
+        df, "series", "ts", "value", "uid", 1800
+    ).collect()[0]
+    assert row["min_value"] == 1.0
+    assert row["max_value"] == 9.0
+    assert row["first_value"] == 5.0  # uid 0 wins the ts tie
+    assert row["last_value"] == 2.0
+
+
+def test_counter_rate_handles_resets(spark):
+    # 10 -> 25 (+15), 25 -> 3 (reset: +3), 3 -> 7 (+4); first sample
+    # contributes 0. Total increase in bucket = 22.
+    df = _df(
+        spark,
+        [("a", 60, 10.0), ("a", 120, 25.0), ("a", 180, 3.0), ("a", 240, 7.0)],
+    )
+    row = timeseries.counter_rate(
+        df, "series", "ts", "value", "uid", 1800
+    ).collect()[0]
+    assert row["increase"] == pytest.approx(22.0)
+    assert row["n_samples"] == 4
+
+
+def test_counter_rate_series_are_independent(spark):
+    # lag must not leak across series
+    df = _df(spark, [("a", 60, 10.0), ("b", 120, 100.0), ("a", 180, 12.0)])
+    got = {
+        r["series"]: r["increase"]
+        for r in timeseries.counter_rate(
+            df, "series", "ts", "value", "uid", 1800
+        ).collect()
+    }
+    assert got["a"] == pytest.approx(2.0)
+    assert got["b"] == pytest.approx(0.0)
+
+
+def test_no_python_udf_in_plans(spark):
+    df = _df(spark, [("a", 60, 1.0), ("a", 120, 2.0)])
+    for op in (
+        timeseries.time_weighted_avg,
+        timeseries.m4_downsample,
+        timeseries.counter_rate,
+    ):
+        plan = (
+            op(df, "series", "ts", "value", "uid", 1800)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan
