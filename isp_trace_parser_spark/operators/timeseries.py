@@ -62,21 +62,31 @@ def time_weighted_avg(
     are bit-identical across parallelism levels and engines. Same
     opt-in and 4-fractional-digit caveat as rollup.rollup_raw.
     """
-    w = _series_window(series_col, ts_col, tiebreak_col)
-    ts = F.col(ts_col)
+    # Alias the series key BEFORE the window: the window then partitions
+    # on the same attribute the downstream groupBy clusters on, so
+    # EnsureRequirements reuses one exchange for both (2 shuffles -> 1;
+    # pinned by tests/test_plans.py).
+    v = F.col(value_col)
+    if sum_cast:
+        v = v.cast(sum_cast)
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_k"),
+        v.alias("_v"),
+    )
+    w = _series_window("series", "_ts", "_k")
+    ts = F.col("_ts")
     bucket = bucket_end(ts, bucket_seconds)
     t_us = F.unix_micros(ts.cast("timestamp_ltz"))
     next_us = F.lead(t_us).over(w)
     end_us = F.unix_micros(bucket.cast("timestamp_ltz"))
     held = F.least(F.coalesce(next_us, end_us), end_us) - t_us
-    v = F.col(value_col)
-    if sum_cast:
-        v = v.cast(sum_cast)
     agg = (
-        df.select(
-            F.col(series_col).alias("series"),
+        base.select(
+            "series",
             bucket.alias("bucket_ts"),
-            v.alias("_v"),
+            "_v",
             held.alias("_held"),
         )
         .groupBy("series", "bucket_ts")
@@ -159,19 +169,27 @@ def counter_rate(
     BEFORE the lag so deltas and their sum are exact (order- and
     engine-independent).
     """
-    w = _series_window(series_col, ts_col, tiebreak_col)
-    v = F.col(value_col)
+    # same alias-first trick as time_weighted_avg: one shared exchange
+    v0 = F.col(value_col)
     if sum_cast:
-        v = v.cast(sum_cast)
+        v0 = v0.cast(sum_cast)
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_k"),
+        v0.alias("_v"),
+    )
+    w = _series_window("series", "_ts", "_k")
+    v = F.col("_v")
     prev = F.lag(v).over(w)
     zero = F.lit(0).cast(sum_cast) if sum_cast else F.lit(0.0)
     delta = F.when(prev.isNull(), zero).otherwise(
         F.when(v >= prev, v - prev).otherwise(v)
     )
-    bucket = bucket_end(F.col(ts_col), bucket_seconds)
+    bucket = bucket_end(F.col("_ts"), bucket_seconds)
     return (
-        df.select(
-            F.col(series_col).alias("series"),
+        base.select(
+            "series",
             bucket.alias("bucket_ts"),
             delta.alias("_d"),
         )

@@ -117,6 +117,29 @@ def test_counter_rate_series_are_independent(spark):
     assert got["b"] == pytest.approx(0.0)
 
 
+def test_single_exchange_plans(spark):
+    """TWA and counter-rate window + agg must share ONE exchange (the
+    series alias is created before the window so the groupBy's
+    clustering is satisfied by the window's partitioning); M4 is a pure
+    two-phase agg with no window at all."""
+    df = _df(spark, [("a", 60, 1.0), ("a", 120, 2.0), ("b", 60, 3.0)])
+    for op in (timeseries.time_weighted_avg, timeseries.counter_rate):
+        plan = (
+            op(df, "series", "ts", "value", "uid", 1800)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+    m4 = (
+        timeseries.m4_downsample(df, "series", "ts", "value", "uid", 1800)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert m4.count("Exchange") == 1 and "Window" not in m4, m4
+
+
 def test_no_python_udf_in_plans(spark):
     df = _df(spark, [("a", 60, 1.0), ("a", 120, 2.0)])
     for op in (
