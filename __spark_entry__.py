@@ -1585,6 +1585,31 @@ def q_counter_rate(spark, sf_dir):
     )
 
 
+def q_gapfill_interpolate(spark, sf_dir):
+    """Densify + LINEAR interpolation between observations (TimescaleDB
+    interpolate analog; complements the ffill gap-fill): missing 30m
+    slots get v0 + (v1-v0)*(t-t0)/(t1-t0), boundary gaps stay NULL.
+    The oracle mirrors the prev/next IGNORE NULLS windows and the exact
+    arithmetic shape so interpolated doubles match bit-for-bit."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.gapfill import interpolate_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    t30 = ev.groupBy(
+        F.col("user_id").alias("series"),
+        bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+            / F.count("value")
+        ).alias("value")
+    )
+    out = interpolate_gaps(t30, interval_seconds=SEC_30M)
+    return out.select(
+        "series", "bucket_ts", _q("value", 4).alias("value"), "is_filled"
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1658,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "m4_downsample": q_m4_downsample,
         "counter_rate": q_counter_rate,
+        "gapfill_interpolate": q_gapfill_interpolate,
     }
 
 
@@ -2335,6 +2361,38 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CAST(length(text) AS DECIMAL(20,4))) AS DOUBLE)
                      / count(*), 4) AS mean_len
         FROM n GROUP BY domain"""
+    # Linear-interpolation gap-fill: same spine as gapfill_30m, then
+    # prev/next IGNORE NULLS windows and the exact arithmetic shape of
+    # operators/gapfill.interpolate_gaps (doubles match bit-for-bit).
+    sqls["gapfill_interpolate"] = """
+        WITH b AS (SELECT user_id AS series, make_timestamp(((epoch_us(ts) + 1799999999) // 1800000000) * 1800000000) AS bucket_ts,
+                          CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value) AS v
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT series, min(bucket_ts) mn, max(bucket_ts) mx FROM b GROUP BY 1),
+        spine AS (SELECT series, unnest(generate_series(mn, mx, INTERVAL 30 MINUTE)) AS bucket_ts FROM r),
+        j AS (SELECT s.series, s.bucket_ts, b.v FROM spine s
+              LEFT JOIN b ON b.series = s.series AND b.bucket_ts = s.bucket_ts),
+        w AS (SELECT series, bucket_ts, v, epoch_us(bucket_ts) AS t,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY series ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket_ts) END IGNORE NULLS) OVER (
+                  PARTITION BY series ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                first_value(v IGNORE NULLS) OVER (
+                  PARTITION BY series ORDER BY bucket_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket_ts) END IGNORE NULLS) OVER (
+                  PARTITION BY series ORDER BY bucket_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              FROM j)
+        SELECT series, bucket_ts,
+               round(CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                     END, 4) AS value,
+               v IS NULL AS is_filled
+        FROM w"""
     # Irregular-series analytics (operators/timeseries.py): the oracles
     # mirror the window + exact-decimal arithmetic; ties broken by
     # event_id in both engines so lead/lag are reproducible.

@@ -41,6 +41,9 @@ HEADLINE = [
     # round-3 additions: as-of composition + per-source text aggregation
     "asof_join_nearest",
     "source_quality_report",
+    # round-3 continuation: URL canonicalization + irregular-series TWA
+    "domain_stats",
+    "time_weighted_avg",
 ]
 
 

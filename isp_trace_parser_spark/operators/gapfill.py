@@ -69,3 +69,73 @@ def gap_fill(
             filled = F.coalesce(filled, F.lit(0.0))
         out = out.withColumn(c, filled)
     return out
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    interval_seconds: int = 1800,
+) -> DataFrame:
+    """Densify + LINEAR interpolation (TimescaleDB ``interpolate``
+    analog): a missing grid point between two observations gets
+    ``v0 + (v1 - v0) * (t - t0) / (t1 - t0)``; leading/trailing gaps
+    (no observation on one side) stay NULL — the caller decides whether
+    to compose with forward-fill for the tail.
+
+    Same spine + co-partitioned left join as :func:`gap_fill`; the
+    prev/next observation scan is two frames (unbounded-preceding /
+    unbounded-following) over ONE series-keyed sort — a single shuffle,
+    zero when the tier table is series-bucketed. Exact integer
+    microsecond math for the time ratio; the arithmetic shape is kept
+    identical to the DuckDB oracle so doubles match bit-for-bit.
+    """
+    spans = df.groupBy(series_col).agg(
+        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+    )
+    spine = spans.select(
+        series_col,
+        F.explode(
+            F.sequence(
+                "_min_ts",
+                "_max_ts",
+                F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0), F.lit(interval_seconds)
+                ),
+            )
+        ).alias(ts_col),
+    )
+    joined = spine.join(df, on=[series_col, ts_col], how="left")
+
+    wp = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    obs_t = F.when(v.isNotNull(), t_us)
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pt = F.last(obs_t, ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    nt = F.first(obs_t, ignorenulls=True).over(wn)
+    interp = pv + (nv - pv) * (
+        (t_us - pt).cast("double") / (nt - pt).cast("double")
+    )
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNotNull() & nv.isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return joined.select(
+        series_col,
+        ts_col,
+        filled.alias(value_col),
+        v.isNull().alias("is_filled"),
+    )
