@@ -1610,6 +1610,45 @@ def q_gapfill_interpolate(spark, sf_dir):
     )
 
 
+def q_snapshot_lineage(spark, sf_dir):
+    """Snapshot checkpoint metadata is CORRECT, not just present
+    (north_rule: "resumable from checkpoint with per-partition
+    lineage"): after a full pipeline run, each tier's last snapshot
+    must name exactly the partition directories its data implies (days
+    under the end-of-period convention; months for the daily tier) and
+    record the right upstream table in its lineage. The oracle derives
+    the expected partition inventory straight from raw events. Reading
+    the snapshot records is O(partitions) driver-side metadata — the
+    same records the incremental scheduler diffs."""
+    _prep(spark)
+    import tempfile
+
+    from isp_trace_parser_spark.pipeline import (
+        ingest_pages,
+        run_rollup_pipeline,
+    )
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "value",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="lineage_wh_") + "/wh")
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    rows = []
+    for t in ("pages", "agg_30m", "agg_1d"):
+        snap = cat.last_snapshot(t)
+        parts = sorted({rel.split("/", 1)[0] for rel in snap["partitions"]})
+        inp = snap.get("lineage", {}).get("input_table")
+        rows.extend((t, p, inp) for p in parts)
+    return spark.createDataFrame(
+        rows, "table_name string, partition_dir string, input_table string"
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1684,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "counter_rate": q_counter_rate,
         "gapfill_interpolate": q_gapfill_interpolate,
+        "snapshot_lineage": q_snapshot_lineage,
     }
 
 
@@ -2361,6 +2401,24 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CAST(length(text) AS DECIMAL(20,4))) AS DOUBLE)
                      / count(*), 4) AS mean_len
         FROM n GROUP BY domain"""
+    # Snapshot lineage: expected partition inventory per tier, derived
+    # from raw events with the same end-of-period bucket labels the
+    # engine's partition keys use.
+    sqls["snapshot_lineage"] = f"""
+        SELECT DISTINCT 'pages' AS table_name,
+               'day_bucket=' || strftime(CAST(ts - INTERVAL 1 SECOND AS DATE), '%Y-%m-%d') AS partition_dir,
+               CAST(NULL AS VARCHAR) AS input_table
+        FROM events
+        UNION ALL
+        SELECT DISTINCT 'agg_30m',
+               'day_bucket=' || strftime(CAST({_bucket_sql("ts", SEC_30M)} - INTERVAL 1 SECOND AS DATE), '%Y-%m-%d'),
+               'pages'
+        FROM events
+        UNION ALL
+        SELECT DISTINCT 'agg_1d',
+               'month_bucket=' || strftime({_bucket_sql("ts", SEC_1D)} - INTERVAL 1 SECOND, '%Y-%m'),
+               'agg_30m'
+        FROM events"""
     # Linear-interpolation gap-fill: same spine as gapfill_30m, then
     # prev/next IGNORE NULLS windows and the exact arithmetic shape of
     # operators/gapfill.interpolate_gaps (doubles match bit-for-bit).
