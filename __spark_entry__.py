@@ -1649,6 +1649,30 @@ def q_snapshot_lineage(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (functions/sampling.py):
+    downsample the corpus per language with a hash-keyed keep decision
+    — reproducible across cluster sizes/retries, monotone in the rate,
+    one pure-column filter. The contract row supplies an
+    engine-portable bucket (multiplicative hash of doc_id) so DuckDB
+    applies the identical keep rule; the engine's default xxhash64
+    bucket is pinned by tests/test_sampling.py."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000))
+    out = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25},
+        ["doc_id"],
+        default_rate=0.75,
+        bucket=bucket,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1724,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "gapfill_interpolate": q_gapfill_interpolate,
         "snapshot_lineage": q_snapshot_lineage,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2401,6 +2426,14 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CAST(length(text) AS DECIMAL(20,4))) AS DOUBLE)
                      / count(*), 4) AS mean_len
         FROM n GROUP BY domain"""
+    # Stratified sampling with the engine-portable bucket: identical
+    # multiplicative-hash keep rule in SQL.
+    sqls["stratified_sample"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE (doc_id * 2654435761) % 1000000 <
+              CASE lang WHEN 'en' THEN 500000
+                        WHEN 'de' THEN 250000
+                        ELSE 750000 END"""
     # Snapshot lineage: expected partition inventory per tier, derived
     # from raw events with the same end-of-period bucket labels the
     # engine's partition keys use.

@@ -1,0 +1,72 @@
+"""Deterministic hash-based sampling for training-data curation.
+
+``df.sample()`` draws from a per-split RNG: the kept set changes with
+partitioning, task retries, and cluster size — unacceptable for a
+reproducible 100-TB curation run (two executors retrying a task must
+keep the same rows). These samplers key the keep-decision on a HASH of
+the row's identity instead:
+
+- same input => same sample, on any cluster size, forever;
+- monotone: ``sample(r1) ⊆ sample(r2)`` when ``r1 <= r2`` (one hash,
+  compared against two thresholds) — growing a sample never discards
+  already-kept rows, so downstream caches/shards stay valid;
+- stratified: per-stratum rates (downsample the Zipf-head languages /
+  domains, keep the rare tail whole) as one map lookup — no per-stratum
+  jobs, one scan, fully pushdown-friendly (the filter is a pure column
+  predicate).
+
+All JVM-side column expressions; no UDF, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def sample_bucket(key_cols: list[str | Column], seed: int = 0) -> Column:
+    """Uniform bucket in [0, 1e6) from xxhash64 of the identity columns
+    (two-lane seeding as operators/dedup.py — xxhash64 is uniform on
+    arbitrary input)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_cols: list[str | Column],
+    seed: int = 0,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically keyed on ``key_cols``.
+    ``bucket`` overrides the hash (e.g. a pre-computed or an
+    engine-portable bucket expression for cross-engine verification)."""
+    b = bucket if bucket is not None else sample_bucket(key_cols, seed)
+    return df.where(b < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_cols: list[str | Column],
+    default_rate: float = 1.0,
+    seed: int = 0,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: rows in stratum ``s`` survive
+    with probability ``rates.get(s, default_rate)``, decided by the same
+    identity hash everywhere. One scan, one pure-column predicate."""
+    pairs: list[Column] = []
+    for k, v in rates.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(int(v * _BUCKETS)))
+    threshold = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None),
+        F.lit(int(default_rate * _BUCKETS)),
+    )
+    b = bucket if bucket is not None else sample_bucket(key_cols, seed)
+    return df.where(b < threshold)
