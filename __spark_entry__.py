@@ -2373,15 +2373,15 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS min_ts, max(ts) AS max_ts
         FROM raw WHERE day_bucket >= DATE '2024-01-26'
         UNION ALL
-        SELECT 'agg_30m', count(*), sum(cnt_value),
+        SELECT 'agg_30m', count(*), CAST(sum(cnt_value) AS BIGINT),
                round(CAST(sum(sum_value) AS DOUBLE), 2), min(bucket_ts), max(bucket_ts)
         FROM t30 WHERE CAST(bucket_ts - INTERVAL 1 SECOND AS DATE) >= DATE '2024-01-16'
         UNION ALL
-        SELECT 'agg_1d', count(*), sum(cnt_value),
+        SELECT 'agg_1d', count(*), CAST(sum(cnt_value) AS BIGINT),
                round(CAST(sum(sum_value) AS DOUBLE), 2), min(bucket_ts), max(bucket_ts)
         FROM t1d
         UNION ALL
-        SELECT 'agg_1mo', count(*), sum(cnt_value),
+        SELECT 'agg_1mo', count(*), CAST(sum(cnt_value) AS BIGINT),
                round(CAST(sum(sum_value) AS DOUBLE), 2), min(bucket_ts), max(bucket_ts)
         FROM t1mo"""
     # Per-domain stats over messy crawl URLs: the oracle rebuilds the

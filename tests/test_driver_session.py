@@ -55,7 +55,13 @@ for name in ["rollup_30m", "rollup_1mo", "window_fy", "gapfill_30m",
              # asof nearest gap arithmetic, demand CSV make_timestamp
              "streaming_sessionize", "interval_join_windows",
              "rolling_mean_1h", "tier_serving_2h", "asof_join_nearest",
-             "parse_demand_csv"]:
+             "parse_demand_csv",
+             # session-sensitive continuation rows: retention cutoff
+             # date math through the pipeline, streaming watermark ltz
+             # + timestamp_seconds, unix_micros bucket/weight math in
+             # the irregular-series ops, sequence-spine interpolation
+             "tiered_retention", "streaming_dedup", "time_weighted_avg",
+             "m4_downsample", "counter_rate", "gapfill_interpolate"]:
     got = queries[name](spark, "/root/testdata/sf0.01").toPandas()
     want = con.execute(oracles[name]).df()
     assert len(got) == len(want), (name, len(got), len(want))
@@ -77,6 +83,6 @@ spark.stop()
 
 def test_entry_contract_under_default_driver_session():
     out = subprocess.run(
-        [sys.executable, "-c", SCRIPT], capture_output=True, text=True, timeout=900
+        [sys.executable, "-c", SCRIPT], capture_output=True, text=True, timeout=1500
     )
     assert "DRIVER-SIM-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-3000:]
