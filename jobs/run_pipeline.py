@@ -47,6 +47,9 @@ def main() -> None:
                     help="raw retention horizon; 0 disables the retention pass")
     ap.add_argument("--buckets", type=int, default=0,
                     help="url-hash bucket count; 0 = auto (~1 per 500k rows)")
+    ap.add_argument("--compact", action="store_true",
+                    help="run small-file compaction on pages/agg_30m after "
+                    "the pipeline (victims picked from snapshot metrics)")
     ap.add_argument("--columns", choices=["full", "trace"], default="full",
                     help="'trace' ingests only (url, warc_ts, value) — the "
                     "rollup engine's input plane; 'full' includes the "
@@ -94,6 +97,15 @@ def main() -> None:
     res = run_rollup_pipeline(spark, cat, policy=policy, now=now)
     rollup_dt = time.perf_counter() - t1
 
+    compacted = {}
+    if args.compact:
+        for t in ("pages", "agg_30m"):
+            if cat.exists(t):
+                snap = cat.compact(t)
+                compacted[t] = snap.get("lineage", {}).get(
+                    "compacted_partitions", []
+                )
+
     print(
         json.dumps(
             {
@@ -104,6 +116,7 @@ def main() -> None:
                 "stages_run": res.stages_run,
                 "stages_skipped": res.stages_skipped,
                 "metrics": res.metrics,
+                "compacted": compacted,
             },
             default=str,
         )
