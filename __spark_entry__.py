@@ -1673,6 +1673,27 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_export_shards(spark, sf_dir):
+    """Deterministic export sharding (functions/sampling.export_shards):
+    every document gets a stable (shard, shard_pos) address — hash
+    shard + dense position in a total per-shard order — so re-running
+    the export on any cluster size yields byte-identical shard files.
+    Portable multiplicative-hash bucket for the oracle; the xxhash64
+    default plus layout-invariance is pinned in tests/test_sampling.py."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.sampling import export_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000))
+    out = export_shards(
+        docs, 8, ["doc_id"], ["doc_id"], bucket=bucket
+    )
+    return out.select(
+        "doc_id", "lang", F.col("shard").cast("long").alias("shard"),
+        F.col("shard_pos").cast("long").alias("shard_pos"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1749,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interpolate": q_gapfill_interpolate,
         "snapshot_lineage": q_snapshot_lineage,
         "stratified_sample": q_stratified_sample,
+        "export_shards": q_export_shards,
     }
 
 
@@ -2434,6 +2456,15 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 500000
                         WHEN 'de' THEN 250000
                         ELSE 750000 END"""
+    # Export sharding with the portable bucket: identical shard + dense
+    # per-shard position in SQL.
+    sqls["export_shards"] = """
+        SELECT doc_id, lang,
+               CAST((doc_id * 2654435761) % 1000000 % 8 AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY (doc_id * 2654435761) % 1000000 % 8
+                 ORDER BY doc_id) - 1 AS BIGINT) AS shard_pos
+        FROM documents"""
     # Snapshot lineage: expected partition inventory per tier, derived
     # from raw events with the same end-of-period bucket labels the
     # engine's partition keys use.

@@ -70,3 +70,37 @@ def stratified_sample(
     )
     b = bucket if bucket is not None else sample_bucket(key_cols, seed)
     return df.where(b < threshold)
+
+
+def export_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: list[str | Column],
+    order_cols: list[str | Column],
+    seed: int = 0,
+    bucket: Column | None = None,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic training-data export sharding (webdataset-style):
+    every row gets a stable ``(shard, shard_pos)`` address — shard from
+    the identity hash, position from a total order within the shard —
+    so a re-run of the export on any cluster size produces byte-
+    identical shard files and downstream loaders can resume by
+    (shard, pos) watermark.
+
+    One shuffle (window partitioned by shard); the per-shard sort is
+    the per-output-file sort the writer needs anyway. Shard count is
+    the parallelism unit — size it to the target shard file size
+    (e.g. rows * bytes/row / 1 GB), not the cluster.
+    """
+    from pyspark.sql import Window
+
+    b = bucket if bucket is not None else sample_bucket(key_cols, seed)
+    shard = F.pmod(b, F.lit(n_shards))
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(shard_col).orderBy(*ocols)
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
+    )

@@ -71,3 +71,30 @@ def test_plan_is_pure_filter(spark):
         .toString()
     )
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_export_shards_stable_addresses(spark):
+    from isp_trace_parser_spark.functions import sampling
+
+    df = _docs(spark, 500)
+    a = (
+        sampling.export_shards(df, 8, ["doc_id"], ["doc_id"])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        sampling.export_shards(df.repartition(13), 8, ["doc_id"], ["doc_id"])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # same addresses regardless of input layout
+    assert a[["doc_id", "shard", "shard_pos"]].equals(
+        b[["doc_id", "shard", "shard_pos"]]
+    )
+    # all 8 shards populated; positions are dense 0..n-1 per shard
+    g = a.groupby("shard")["shard_pos"]
+    assert set(a["shard"]) == set(range(8))
+    for _, pos in g:
+        assert sorted(pos) == list(range(len(pos)))
