@@ -2296,7 +2296,7 @@ def oracle_sql() -> dict[str, str]:
          AND v.ts < p.ts + INTERVAL 15 MINUTE"""
     sqls["json_props_rollup"] = """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
                round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
                  AS avg_k,
                count(json_extract_string(props, '$.k')) AS n_k
@@ -2340,7 +2340,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         SELECT t.source, count(*) AS n_docs,
                round(avg(q.quality), 4) AS avg_quality,
-               sum(t.nt) AS total_tokens,
+               CAST(sum(t.nt) AS BIGINT) AS total_tokens,
                min(t.n_chars) AS min_chars, max(t.n_chars) AS max_chars
         FROM t JOIN q USING (doc_id) GROUP BY 1"""
     # §2.7 top-k per group: composed from the lang_id and quality_score
