@@ -1694,6 +1694,56 @@ def q_export_shards(spark, sf_dir):
     )
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing for training-data curation (functions/text.py):
+    deterministic PII-laced text (emails always, phones on doc_id%3,
+    IPs on doc_id%4) is counted and redacted with typed placeholders —
+    one codegen projection, no UDF. The oracle rebuilds the same text
+    and applies the identical RE2-compatible patterns; the md5 of the
+    redacted text pins byte-identical scrubbing."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.text import with_pii_redaction
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    laced = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            d.cast("string"),
+            F.lit("@mail-"),
+            F.col("source"),
+            F.lit(".com"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" call +1415"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = with_pii_redaction(laced)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.md5(F.col("redacted_text").cast("binary")).alias("redacted_md5"),
+        F.length("redacted_text").cast("long").alias("redacted_len"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1771,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_lineage": q_snapshot_lineage,
         "stratified_sample": q_stratified_sample,
         "export_shards": q_export_shards,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -2456,6 +2507,39 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 500000
                         WHEN 'de' THEN 250000
                         ELSE 750000 END"""
+    # PII redaction: rebuild the laced text, count + scrub with the
+    # same RE2-compatible patterns (functions/text.py EMAIL/PHONE/IPV4).
+    sqls["pii_redaction"] = r"""
+        WITH laced AS (
+          SELECT doc_id,
+            text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail-' ||
+            source || '.com' ||
+            (CASE WHEN doc_id % 3 = 0
+                  THEN ' call +1415' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END) ||
+            (CASE WHEN doc_id % 4 = 0
+                  THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                       CAST(doc_id % 100 AS VARCHAR)
+                  ELSE '' END) AS text
+          FROM documents
+        ),
+        red AS (
+          SELECT doc_id, text,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+[0-9]{7,15}', '<PHONE>', 'g'),
+              '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+          FROM laced
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+               md5(redacted) AS redacted_md5,
+               CAST(length(redacted) AS BIGINT) AS redacted_len
+        FROM red"""
     # Export sharding with the portable bucket: identical shard + dense
     # per-shard position in SQL.
     sqls["export_shards"] = """

@@ -124,3 +124,39 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         polynomial_fingerprint(t).alias("fingerprint"),
     )
+
+
+# --- PII scrubbing (training-data curation) -------------------------
+# Patterns restricted to syntax RE2 and Java regex evaluate identically
+# (no backrefs, no lookaround), so the DuckDB oracle can reuse them.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{7,15}"
+IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class — size of regexp_extract_all, which
+    both engines expose (len() in DuckDB)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email/phone/IP with a typed placeholder token.
+    Order matters: emails first (an address contains dot-runs an IP
+    pattern could nibble), then phones, then IPs."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-class counts and the redacted text in one projection
+    — a single codegen stage over the scan, no UDF, no shuffle."""
+    t = F.col(text_col)
+    cols = dict(pii_counts(t))
+    cols["redacted_text"] = redact_pii(t)
+    return df.withColumns(cols)

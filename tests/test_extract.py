@@ -118,3 +118,31 @@ def test_json_metadata_typed_and_fail_safe(spark):
     ).select("m.k", "m.tag").toPandas()
     assert out.iloc[0]["k"] == 7 and out.iloc[0]["tag"] == "a"
     assert pd.isna(out.iloc[1]["k"]) and pd.isna(out.iloc[2]["k"])
+
+
+def test_pii_redaction_counts_and_placeholders(spark):
+    import pandas as pd
+
+    from isp_trace_parser_spark.functions.text import with_pii_redaction
+
+    pdf = pd.DataFrame(
+        {
+            "text": [
+                "mail a.b+c@site-x.co.uk or admin@h.io, call +4915123456789",
+                "server at 192.168.0.1 and 10.0.0.255; no mail here",
+                "overlap: x@1.2.3.4.com then bare 1.2.3.4",
+                "clean text with + plus and @ at but no pii",
+            ]
+        }
+    )
+    out = with_pii_redaction(spark.createDataFrame(pdf)).toPandas()
+    r = {t[:7]: row for t, row in zip(pdf["text"], out.itertuples())}
+    assert r["mail a."].n_emails == 2 and r["mail a."].n_phones == 1
+    assert "<EMAIL>" in r["mail a."].redacted_text
+    assert "<PHONE>" in r["mail a."].redacted_text
+    assert r["server "].n_ips == 2
+    assert r["server "].redacted_text.count("<IP>") == 2
+    # email wins the overlap (applied first), leftover bare IP redacted
+    assert r["overlap"].n_emails == 1 and r["overlap"].n_ips >= 1
+    assert r["clean t"].n_emails == 0
+    assert r["clean t"].redacted_text == pdf["text"][3]
