@@ -1744,6 +1744,23 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+def q_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnosis (plans/partitioning.skew_report): top-10
+    hottest keys with row share and the salt factor that would level
+    each against a 32-task average — the measurement side of the
+    salting/two-phase-agg loop. Deterministic (count desc, key asc)
+    tie-break in both engines."""
+    _prep(spark)
+    from isp_trace_parser_spark.plans.partitioning import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    out = skew_report(ev, ["user_id"], parallelism=32, top_k=10)
+    return out.select(
+        "user_id", "key_rows", _q("row_share", 6).alias("row_share"),
+        "suggested_salts",
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1822,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "export_shards": q_export_shards,
         "pii_redaction": q_pii_redaction,
+        "skew_report": q_skew_report,
     }
 
 
@@ -2507,6 +2525,17 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 500000
                         WHEN 'de' THEN 250000
                         ELSE 750000 END"""
+    # Skew report: identical count/share/ceil arithmetic and tie-break.
+    sqls["skew_report"] = """
+        WITH c AS (SELECT user_id, count(*) AS key_rows FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(key_rows) AS BIGINT) AS total FROM c)
+        SELECT user_id, key_rows,
+               round(CAST(key_rows AS DOUBLE) / total, 6) AS row_share,
+               CAST(ceil(CAST(key_rows AS DOUBLE)
+                         / (CAST(total AS DOUBLE) / 32)) AS BIGINT) AS suggested_salts
+        FROM c, t
+        ORDER BY key_rows DESC, user_id ASC
+        LIMIT 10"""
     # PII redaction: rebuild the laced text, count + scrub with the
     # same RE2-compatible patterns (functions/text.py EMAIL/PHONE/IPV4).
     sqls["pii_redaction"] = r"""

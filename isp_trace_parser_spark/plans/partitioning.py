@@ -96,3 +96,39 @@ def two_phase_avg(
         (F.sum("_s").cast("double") / F.sum("_c")).alias(f"avg_{value_col}"),
         F.sum("_c").alias(f"cnt_{value_col}"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    parallelism: int,
+    top_k: int = 10,
+) -> DataFrame:
+    """Measurement side of the salting loop: per-key row counts for the
+    ``top_k`` hottest shuffle keys, each with its share of the table and
+    the salt factor that would level it.
+
+    ``suggested_salts`` = ceil(key_count / (total / parallelism)) — the
+    number of salt buckets needed so no single (key, salt) partition
+    exceeds the average per-task share. 1 means the key is fine as-is;
+    feed anything larger into :func:`salted` / ``two_phase_avg`` or the
+    catalog's ``dist_buckets``.
+
+    Cost: one two-phase count agg (map-side combined) + a broadcast of
+    the single-row total; the top-k is an order-by-limit over the
+    already-aggregated key counts with a deterministic (count desc, key
+    asc) tie-break.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    total = counts.agg(F.sum("key_rows").alias("_total"))
+    enriched = counts.crossJoin(F.broadcast(total)).select(
+        *key_cols,
+        "key_rows",
+        (F.col("key_rows").cast("double") / F.col("_total")).alias("row_share"),
+        F.ceil(
+            F.col("key_rows").cast("double")
+            / (F.col("_total").cast("double") / F.lit(parallelism))
+        ).cast("long").alias("suggested_salts"),
+    )
+    order = [F.col("key_rows").desc()] + [F.col(c).asc() for c in key_cols]
+    return enriched.orderBy(*order).limit(top_k)

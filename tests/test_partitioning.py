@@ -80,3 +80,19 @@ def test_salted_partials_spread_hot_key(spark):
     )
     hot = parts.sort_values("n_salts", ascending=False).iloc[0]
     assert hot["n_salts"] >= 6  # hot key spread over most salt buckets
+
+
+def test_skew_report_flags_hot_key(spark):
+    import pandas as pd
+
+    from isp_trace_parser_spark.plans.partitioning import skew_report
+
+    # one key with 80% of rows, 20 cold keys sharing the rest
+    rows = [("hot",)] * 800 + [(f"cold{i % 20}",) for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k"]))
+    out = skew_report(df, ["k"], parallelism=10, top_k=3).collect()
+    assert out[0]["k"] == "hot" and out[0]["key_rows"] == 800
+    # hot key needs ~ 800 / (1000/10) = 8 salts; cold keys need 1
+    assert out[0]["suggested_salts"] == 8
+    assert all(r["suggested_salts"] == 1 for r in out[1:])
+    assert abs(out[0]["row_share"] - 0.8) < 1e-12
