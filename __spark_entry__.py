@@ -1761,6 +1761,42 @@ def q_skew_report(spark, sf_dir):
     )
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Snapshot-diff incremental recompute == full recompute
+    (north_rule: resumable/incremental pipeline): land days before
+    2024-01-20, run the pipeline, land the remaining days as a dynamic
+    increment, run the pipeline AGAIN — the second run recomputes only
+    the appended partitions (pinned by tests/test_pipeline.py), and the
+    final 30m tier must equal a single-shot rollup of ALL events, which
+    is exactly what the oracle computes. Any stale partial, missed
+    partition, or double-count in the incremental path breaks the
+    hash."""
+    _prep(spark)
+    import tempfile
+
+    from isp_trace_parser_spark.pipeline import (
+        ingest_pages,
+        run_rollup_pipeline,
+    )
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "value",
+    )
+    cut = F.to_date(F.col("warc_ts") - F.expr("INTERVAL 1 SECOND"))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="incr_wh_") + "/wh")
+    ingest_pages(cat, pages.where(cut < F.lit("2024-01-20")))
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    ingest_pages(
+        cat, pages.where(cut >= F.lit("2024-01-20")), mode="dynamic"
+    )
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    return _round_aggs(cat.read("agg_30m").drop("day_bucket"))
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1840,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "pii_redaction": q_pii_redaction,
         "skew_report": q_skew_report,
+        "incremental_rollup": q_incremental_rollup,
     }
 
 
@@ -2525,6 +2562,10 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 500000
                         WHEN 'de' THEN 250000
                         ELSE 750000 END"""
+    # Incremental pipeline == single-shot rollup over all events.
+    sqls["incremental_rollup"] = f"""
+        SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts, {_AGG_SQL}
+        FROM events GROUP BY 1, 2"""
     # Skew report: identical count/share/ceil arithmetic and tie-break.
     sqls["skew_report"] = """
         WITH c AS (SELECT user_id, count(*) AS key_rows FROM events GROUP BY 1),
