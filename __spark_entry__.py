@@ -1797,6 +1797,41 @@ def q_incremental_rollup(spark, sf_dir):
     return _round_aggs(cat.read("agg_30m").drop("day_bucket"))
 
 
+def q_late_rewrite_rollup(spark, sf_dir):
+    """Late REWRITE of an old day is detected and recomputed (not just
+    appends — a high-watermark scheduler would miss it): run the full
+    pipeline, then dynamic-overwrite day 2024-01-10 with doubled
+    values and rerun. The per-partition file fingerprints flag the
+    rewritten day, the pipeline recomputes exactly its buckets, and the
+    final 30m tier must hash-match an oracle whose 01-10 values are
+    doubled at the source."""
+    _prep(spark)
+    import tempfile
+
+    from isp_trace_parser_spark.pipeline import (
+        ingest_pages,
+        run_rollup_pipeline,
+    )
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "value",
+    )
+    day = F.to_date(F.col("warc_ts") - F.expr("INTERVAL 1 SECOND"))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="rewrite_wh_") + "/wh")
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    rewritten = pages.where(day == F.lit("2024-01-10")).withColumn(
+        "value", F.col("value") * 2
+    )
+    ingest_pages(cat, rewritten, mode="dynamic")
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    return _round_aggs(cat.read("agg_30m").drop("day_bucket"))
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1877,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "skew_report": q_skew_report,
         "incremental_rollup": q_incremental_rollup,
+        "late_rewrite_rollup": q_late_rewrite_rollup,
     }
 
 
@@ -2566,6 +2602,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["incremental_rollup"] = f"""
         SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts, {_AGG_SQL}
         FROM events GROUP BY 1, 2"""
+    # Late-rewrite detection: source values doubled on the rewritten day.
+    sqls["late_rewrite_rollup"] = f"""
+        WITH src AS (
+          SELECT CAST(user_id AS VARCHAR) AS series, ts,
+                 CASE WHEN CAST(ts - INTERVAL 1 SECOND AS DATE) = DATE '2024-01-10'
+                      THEN value * 2 ELSE value END AS value
+          FROM events
+        )
+        SELECT series, {b30} AS bucket_ts, {_AGG_SQL}
+        FROM src GROUP BY 1, 2"""
     # Skew report: identical count/share/ceil arithmetic and tie-break.
     sqls["skew_report"] = """
         WITH c AS (SELECT user_id, count(*) AS key_rows FROM events GROUP BY 1),
