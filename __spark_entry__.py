@@ -1832,6 +1832,81 @@ def q_late_rewrite_rollup(spark, sf_dir):
     return _round_aggs(cat.read("agg_30m").drop("day_bucket"))
 
 
+def q_tier_serving_3d(spark, sf_dir):
+    """Tier SELECTION correctness: a 3-day resolution must be served
+    from the DAILY tier (coarsest stored tier dividing it — never the
+    30m tier, never raw), sliced to the window with partition pruning,
+    then re-aggregated from exact partials. Day-aligned window bounds
+    make tier-bucket slicing equal raw-ts slicing, so the oracle is a
+    direct 3d rollup of raw events in the window."""
+    _prep(spark)
+    import datetime
+    import tempfile
+
+    from isp_trace_parser_spark.pipeline import (
+        ingest_pages,
+        run_rollup_pipeline,
+    )
+    from isp_trace_parser_spark.serving import TierStore
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "value",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="serve3d_wh_") + "/wh")
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    out = TierStore(cat).series(
+        start=datetime.datetime(2024, 1, 3),
+        end=datetime.datetime(2024, 1, 27),
+        resolution="3d",
+    )
+    return _round_aggs(out)
+
+
+def q_codec_range_decode(spark, sf_dir):
+    """Range read from Gorilla blocks with BLOCK PRUNING: encode the
+    30m tier into weekly blocks, keep only blocks overlapping a
+    two-week window (the block_start predicate a partition-pruned scan
+    would push down), decode, and slice to the window. Must equal a
+    direct 30m rollup of the window — pinning both losslessness and
+    that pruning drops no needed block."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators import codec
+
+    ev = _t(spark, sf_dir, "events")
+    t30 = ev.groupBy(
+        F.col("user_id").cast("string").alias("series"),
+        bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+            / F.count("value")
+        ).alias("avg_value")
+    )
+    blocks = codec.encode_blocks(
+        t30, "series", "bucket_ts", "avg_value", block="7 days"
+    )
+    start, end = "2024-01-08 00:00:00", "2024-01-22 00:00:00"
+    pruned = blocks.where(
+        (F.col("block_start") < F.lit(end).cast("timestamp_ntz"))
+        & (
+            F.col("block_start") + F.expr("INTERVAL 7 DAYS")
+            > F.lit(start).cast("timestamp_ntz")
+        )
+    )
+    out = codec.decode_blocks(pruned).where(
+        (F.col("ts") > F.lit(start).cast("timestamp_ntz"))
+        & (F.col("ts") <= F.lit(end).cast("timestamp_ntz"))
+    )
+    return out.select(
+        "series", F.col("ts").alias("bucket_ts"), _q("value", 4).alias("value")
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1913,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "incremental_rollup": q_incremental_rollup,
         "late_rewrite_rollup": q_late_rewrite_rollup,
+        "tier_serving_3d": q_tier_serving_3d,
+        "codec_range_decode": q_codec_range_decode,
     }
 
 
@@ -2602,6 +2679,25 @@ def oracle_sql() -> dict[str, str]:
     sqls["incremental_rollup"] = f"""
         SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts, {_AGG_SQL}
         FROM events GROUP BY 1, 2"""
+    # 3d serving from the daily tier == direct 3d rollup of the window
+    # (day-aligned bounds make tier-bucket slicing equal raw slicing).
+    sqls["tier_serving_3d"] = f"""
+        SELECT CAST(user_id AS VARCHAR) AS series,
+               {_bucket_sql("ts", 3 * SEC_1D)} AS bucket_ts, {_AGG_SQL}
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-03 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-27 00:00:00'
+        GROUP BY 1, 2"""
+    # Codec range decode == direct 30m rollup of the window.
+    sqls["codec_range_decode"] = f"""
+        SELECT CAST(user_id AS VARCHAR) AS series,
+               {_bucket_sql("ts", SEC_30M)} AS bucket_ts,
+               round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                     / count(value), 4) AS value
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-22 00:00:00'
+        GROUP BY 1, 2"""
     # Late-rewrite detection: source values doubled on the rewritten day.
     sqls["late_rewrite_rollup"] = f"""
         WITH src AS (
