@@ -7,6 +7,7 @@ import datetime
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from isp_trace_parser_spark.operators import timeseries
 
@@ -154,3 +155,28 @@ def test_no_python_udf_in_plans(spark):
             .toString()
         )
         assert "EvalPython" not in plan
+
+
+def test_exchange_free_over_bucketed_tier(spark, tmp_path):
+    """DESIGN claim pin: TWA and counter-rate over a series-bucketed
+    tier table run with ZERO exchanges (scan is already
+    HashPartitioning(series), reused by window AND agg)."""
+    from isp_trace_parser_spark import synth
+    from isp_trace_parser_spark.operators import rollup
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    pages = synth.pages(spark, n_urls=20, n_slots=48, gap_pct=0).select(
+        "url", "warc_ts", "value"
+    )
+    t30 = rollup.rollup_raw(pages, "url", "warc_ts", "value")
+    cat.write_bucketed(
+        t30, "t30_b", bucket_by=["series"], n_buckets=4,
+        sort_by=["series", "bucket_ts"],
+    )
+    back = cat.read("t30_b").withColumn("uid", F.monotonically_increasing_id())
+    for op in (timeseries.time_weighted_avg, timeseries.counter_rate):
+        df = op(back, "series", "bucket_ts", "avg_value", "uid", 86400)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert df.count() > 0
