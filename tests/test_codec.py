@@ -43,7 +43,10 @@ def test_single_and_two_point_blocks():
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(
-        st.floats(allow_nan=False, width=64),
+        # NaN/Inf included: the codec works on raw bit patterns, so
+        # every IEEE payload (quiet/signaling NaN, ±Inf, -0.0) must
+        # survive bit-exactly
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
         min_size=1,
         max_size=200,
     ),
@@ -56,7 +59,7 @@ def test_round_trip_property(values, delta_list):
     vals = np.array(values, dtype=np.float64)
     ts2, vals2 = codec.decode_block(codec.encode_block(ts, vals))
     assert (ts2 == ts).all()
-    # bit-exact (handles -0.0 etc.); NaN excluded by strategy
+    # bit-exact (handles -0.0, NaN payloads, ±Inf)
     assert (vals2.view(np.uint64) == vals.view(np.uint64)).all()
 
 
