@@ -369,6 +369,13 @@ class Catalog:
                 "files": len(pqs),
                 "bytes": b,
                 "sig": sig,
+                # file-level manifest: makes snapshots READABLE, not just
+                # diffable — read_at() reconstructs the table as of any
+                # snapshot whose files still exist (append-only history;
+                # Iceberg time-travel analog). Name lists are metadata-
+                # scale: O(files in partition), recorded only for touched
+                # partitions per commit.
+                "names": sorted(pqs),
             }
         return out
 
@@ -439,6 +446,54 @@ class Catalog:
     def last_snapshot(self, name: str) -> dict[str, Any] | None:
         snaps = self.snapshots(name)
         return snaps[-1] if snaps else None
+
+    def read_at(self, name: str, snapshot_id: str) -> DataFrame:
+        """Time travel (Iceberg ``VERSION AS OF`` analog): read the
+        table exactly as the given snapshot saw it, from its file-level
+        manifest.
+
+        Scope: valid across APPEND history — appends add files without
+        touching existing ones, so every earlier snapshot stays
+        readable. Overwrites, compaction and expiry REWRITE/DELETE
+        files eagerly (this shim's storage is single-copy; Iceberg
+        retains old files until ``expire_snapshots``), so a snapshot
+        whose files are gone raises a clear error instead of silently
+        returning partial data. Bucketed scan metadata is not attached
+        to a time-travel read (it is a plain file-list scan).
+        """
+        snap = next(
+            (s for s in self.snapshots(name) if s["snapshot_id"] == snapshot_id),
+            None,
+        )
+        if snap is None:
+            raise ValueError(f"unknown snapshot {snapshot_id!r} for {name!r}")
+        path = self.table_path(name)
+        files: list[str] = []
+        missing: list[str] = []
+        for rel, m in sorted(snap.get("partitions", {}).items()):
+            names = m.get("names")
+            if names is None:
+                raise ValueError(
+                    f"snapshot {snapshot_id!r} predates file manifests; "
+                    "time travel needs a commit from this engine version"
+                )
+            pdir = os.path.join(path, rel) if rel else path
+            for fn in names:
+                fp = os.path.join(pdir, fn)
+                (files if os.path.exists(fp) else missing).append(fp)
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot_id!r} of {name!r} is no longer "
+                f"readable: {len(missing)} file(s) were rewritten or "
+                "expired by a later overwrite/compact/expire (time "
+                "travel is retained across appends only); first "
+                f"missing: {missing[0]}"
+            )
+        if not files:
+            raise ValueError(
+                f"snapshot {snapshot_id!r} of {name!r} lists no data files"
+            )
+        return self.spark.read.option("basePath", path).parquet(*files)
 
     # -- retention -----------------------------------------------------------
     def list_partitions(self, name: str, partition_col: str) -> list[str]:

@@ -283,3 +283,40 @@ def test_compact_unknown_partition_raises(spark, cat):
         cat.compact("t", partitions=["k=p9"])
     # and nothing was rewritten
     assert cat.last_snapshot("t")["operation"] == "write:overwrite"
+
+
+def test_read_at_snapshot_time_travel_across_appends(spark, cat):
+    """read_at() reconstructs the table as of each append snapshot from
+    its file manifest; a later dynamic overwrite invalidates earlier
+    snapshots LOUDLY (single-copy storage, not silent partial data)."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["p0"] * 4 + ["p1"] * 4, "v": range(8)})
+    )
+    s1 = cat.write(df.where("v < 4"), "tt", partition_by=["k"])
+    s2 = cat.write(
+        df.where("v >= 4"), "tt", partition_by=["k"], mode="append"
+    )
+    assert cat.read_at("tt", s1["snapshot_id"]).count() == 4
+    assert cat.read_at("tt", s2["snapshot_id"]).count() == 8
+    # partition column survives the file-list read
+    got = cat.read_at("tt", s1["snapshot_id"]).select("k").distinct().collect()
+    assert {r["k"] for r in got} == {"p0"}
+    # latest snapshot == live read
+    assert cat.read("tt").count() == 8
+
+    # rewrite partition p0 -> snapshots that referenced its old files
+    # must now fail loud
+    cat.write(
+        df.where("v < 4").withColumn("v", F.col("v") + 100),
+        "tt", partition_by=["k"], mode="dynamic",
+    )
+    with pytest.raises(ValueError, match="no longer readable"):
+        cat.read_at("tt", s1["snapshot_id"])
+
+    # unknown id is a clear error too
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        cat.read_at("tt", "deadbeef")
