@@ -1907,6 +1907,40 @@ def q_codec_range_decode(spark, sf_dir):
     )
 
 
+def q_time_travel_read(spark, sf_dir):
+    """Snapshot time travel (Iceberg VERSION AS OF analog): land even
+    event_ids, snapshot, append the odd ones — then read_at() the first
+    snapshot's file manifest. The result must equal a SELECT of only
+    the first tranche even though the live table holds everything;
+    manifest-based reads never see files a snapshot didn't commit."""
+    _prep(spark)
+    import tempfile
+
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="tt_wh_"))
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    s1 = cat.write(
+        ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+        "ev",
+        partition_by=["day"],
+        sort_within=["user_id", "ts"],
+    )
+    cat.write(
+        ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1),
+        "ev",
+        partition_by=["day"],
+        sort_within=["user_id", "ts"],
+        mode="append",
+    )
+    back = cat.read_at("ev", s1["snapshot_id"])
+    return back.select(
+        "user_id", "event_id", "ts", _q("value", 4).alias("value"), "day"
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -1990,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_rewrite_rollup": q_late_rewrite_rollup,
         "tier_serving_3d": q_tier_serving_3d,
         "codec_range_decode": q_codec_range_decode,
+        "time_travel_read": q_time_travel_read,
     }
 
 
@@ -2698,6 +2733,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE ts > TIMESTAMP '2024-01-08 00:00:00'
           AND ts <= TIMESTAMP '2024-01-22 00:00:00'
         GROUP BY 1, 2"""
+    # Time travel: the first snapshot sees only the first tranche.
+    sqls["time_travel_read"] = """
+        SELECT user_id, event_id, ts, round(value, 4) AS value,
+               strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_id % 2 = 0"""
     # Late-rewrite detection: source values doubled on the rewritten day.
     sqls["late_rewrite_rollup"] = f"""
         WITH src AS (
