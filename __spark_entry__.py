@@ -1941,6 +1941,41 @@ def q_time_travel_read(spark, sf_dir):
     )
 
 
+def q_streaming_ingest_rollup(spark, sf_dir):
+    """Live-crawl landing path end-to-end: events stream in through
+    foreachBatch -> Catalog.write (per-epoch snapshot lineage,
+    idempotent on replay — streaming/ingest_stream.py), then the BATCH
+    snapshot-diff pipeline rolls the streamed table up. The 30m tier
+    must hash-match a direct SQL rollup: streamed days are
+    indistinguishable from batch-landed days."""
+    _prep(spark)
+    import tempfile
+
+    from isp_trace_parser_spark.pipeline import run_rollup_pipeline
+    from isp_trace_parser_spark.sources.catalog import Catalog
+    from isp_trace_parser_spark.streaming.ingest_stream import (
+        streaming_ingest,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("user_id").cast("string").alias("url"),
+            F.col("ts").alias("warc_ts"),
+            "value",
+        )
+    )
+    base = tempfile.mkdtemp(prefix="sting_wh_")
+    cat = Catalog(spark, base + "/wh")
+    q = streaming_ingest(stream, cat, checkpoint_dir=base + "/ck")
+    q.awaitTermination(300)
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    return _round_aggs(cat.read("agg_30m").drop("day_bucket"))
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -2025,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_serving_3d": q_tier_serving_3d,
         "codec_range_decode": q_codec_range_decode,
         "time_travel_read": q_time_travel_read,
+        "streaming_ingest_rollup": q_streaming_ingest_rollup,
     }
 
 
@@ -2733,6 +2769,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE ts > TIMESTAMP '2024-01-08 00:00:00'
           AND ts <= TIMESTAMP '2024-01-22 00:00:00'
         GROUP BY 1, 2"""
+    # Streaming ingest feeding the batch cascade == direct rollup.
+    sqls["streaming_ingest_rollup"] = f"""
+        SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts, {_AGG_SQL}
+        FROM events GROUP BY 1, 2"""
     # Time travel: the first snapshot sees only the first tranche.
     sqls["time_travel_read"] = """
         SELECT user_id, event_id, ts, round(value, 4) AS value,

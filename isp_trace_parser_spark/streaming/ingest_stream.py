@@ -1,0 +1,74 @@
+"""Streaming ingest into the snapshot catalog — the live-crawl landing
+path (north_rule: resumable checkpointed pipeline; the batch analog is
+pipeline.ingest_pages).
+
+``foreachBatch`` is the bridge: each micro-batch is a bounded DataFrame
+landed through the SAME ``Catalog.write`` path batch ingest uses —
+partitioned (day_bucket, url_bucket), salted writer parallelism, and an
+O(touched) snapshot commit per batch whose lineage records the epoch
+id. Downstream consumers (the rollup pipeline's snapshot-diff
+scheduler) therefore see streamed days exactly like batch-landed days
+and recompute only what each micro-batch touched.
+
+Exactly-once: Structured Streaming checkpoints the source offsets per
+epoch; on restart a replayed epoch re-runs ``foreachBatch`` with the
+same epoch_id. We make the replay idempotent by skipping epochs already
+recorded in the table's snapshot lineage — the catalog log doubles as
+the sink-side commit log (the same two-phase pattern Spark's own
+``ExactlyOnceWriter`` sinks use).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from isp_trace_parser_spark.plans.partitioning import (
+    DEFAULT_URL_BUCKETS,
+    with_partition_keys,
+)
+from isp_trace_parser_spark.sources.catalog import Catalog
+
+
+def _committed_epochs(cat: Catalog, table: str) -> set[int]:
+    return {
+        s["lineage"]["epoch_id"]
+        for s in cat.snapshots(table)
+        if "epoch_id" in s.get("lineage", {})
+    }
+
+
+def streaming_ingest(
+    stream: DataFrame,
+    cat: Catalog,
+    table: str = "pages",
+    n_buckets: int = DEFAULT_URL_BUCKETS,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+    query_name: str | None = None,
+) -> Any:
+    """Start a streaming query landing ``stream`` into ``cat.table``.
+    Returns the StreamingQuery; callers await/stop it."""
+
+    def _land(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in _committed_epochs(cat, table):
+            return  # replayed epoch after restart — already committed
+        keyed = with_partition_keys(batch_df, n_buckets=n_buckets)
+        cat.write(
+            keyed,
+            table,
+            partition_by=["day_bucket", "url_bucket"],
+            sort_within=["url", "warc_ts"],
+            mode="append" if cat.exists(table) else "overwrite",
+            lineage={"stage": "streaming_ingest", "epoch_id": epoch_id},
+        )
+
+    writer = stream.writeStream.foreachBatch(_land).outputMode("append")
+    if query_name:
+        writer = writer.queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
