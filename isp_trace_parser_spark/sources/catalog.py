@@ -87,7 +87,7 @@ class Catalog:
         return f"bkt_{h}_{name}"
 
     # -- IO ----------------------------------------------------------------
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, merge_schema: bool = False) -> DataFrame:
         # bucketed tables come back through the session catalog so the
         # scan carries the HashPartitioning metadata (shuffle-free
         # groupBy/window/join on the bucket key); self-registers from
@@ -98,10 +98,16 @@ class Catalog:
             if not self.spark.catalog.tableExists(ident):
                 self.register_bucketed(name)
             return self.spark.table(ident)
-        # basePath keeps partition columns typed + present after pruning
-        return self.spark.read.option("basePath", self.table_path(name)).parquet(
-            self.table_path(name)
-        )
+        # basePath keeps partition columns typed + present after pruning.
+        # merge_schema: additive schema evolution — an appended tranche
+        # may carry NEW columns (Iceberg add-column analog); older files
+        # surface them as NULL. Off by default: schema merging lists
+        # every file's footer at planning time, a cost only evolution
+        # readers should pay.
+        reader = self.spark.read.option("basePath", self.table_path(name))
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.table_path(name))
 
     def _bucket_spec(self, name: str) -> dict[str, Any] | None:
         snap = self.last_snapshot(name) if self.exists(name) else None

@@ -320,3 +320,48 @@ def test_read_at_snapshot_time_travel_across_appends(spark, cat):
     # unknown id is a clear error too
     with pytest.raises(ValueError, match="unknown snapshot"):
         cat.read_at("tt", "deadbeef")
+
+
+def test_read_merge_schema_additive_evolution(spark, cat):
+    """Additive schema evolution: a later tranche lands an extra column;
+    merge_schema=True surfaces it (NULL for old files), default read
+    keeps the original schema untouched."""
+    import pandas as pd
+
+    t1 = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b"], "v": [1.0, 2.0]})
+    )
+    t2 = spark.createDataFrame(
+        pd.DataFrame({"k": ["c"], "v": [3.0], "quality": [0.9]})
+    )
+    cat.write(t1, "evo", partition_by=["k"])
+    cat.write(t2, "evo", partition_by=["k"], mode="append")
+
+    merged = cat.read("evo", merge_schema=True)
+    assert "quality" in merged.columns
+    rows = {r["k"]: r for r in merged.collect()}
+    assert rows["c"]["quality"] == 0.9
+    assert rows["a"]["quality"] is None
+
+
+def test_narrow_projection_prunes_scan_columns(spark, cat):
+    """Column pruning reaches the parquet scan: selecting one data
+    column must not read the others (ReadSchema in the physical plan)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "b"], "v": [1.0, 2.0], "w": [3.0, 4.0],
+             "payload": ["x" * 10, "y" * 10]}
+        )
+    )
+    cat.write(df, "narrow", partition_by=["k"])
+    plan = (
+        cat.read("narrow")
+        .select("v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "v:double" in rs[0] and "payload" not in rs[0], plan
