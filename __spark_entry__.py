@@ -1976,6 +1976,40 @@ def q_streaming_ingest_rollup(spark, sf_dir):
     return _round_aggs(cat.read("agg_30m").drop("day_bucket"))
 
 
+def q_repetition_filters(spark, sf_dir):
+    """Gopher/C4-style repetition curation rules (functions/text.py):
+    top-bigram fraction and duplicate-sentence fraction as pure array
+    expressions (no explode, no shuffle — the whole filter is a
+    projection over the scan). Every 6th doc is laced with a full
+    self-repeat so both signals fire. Oracle recomputes with DuckDB
+    list lambdas."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.text import (
+        _tokens,
+        dup_sentence_fraction,
+        top_bigram_fraction,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    laced = docs.withColumn(
+        "text",
+        F.when(
+            d % 6 == 0, F.concat(F.col("text"), F.lit(". "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    t = F.col("text")
+    bigram_frac = top_bigram_fraction(t)
+    dup_frac = dup_sentence_fraction(t)
+    return laced.select(
+        "doc_id",
+        F.size(_tokens(t)).cast("long").alias("n_tokens"),
+        _q(bigram_frac, 6).alias("top_bigram_frac"),
+        _q(dup_frac, 6).alias("dup_sent_frac"),
+        ((bigram_frac <= 0.2) & (dup_frac <= 0.3)).alias("keep"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -2061,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_range_decode": q_codec_range_decode,
         "time_travel_read": q_time_travel_read,
         "streaming_ingest_rollup": q_streaming_ingest_rollup,
+        "repetition_filters": q_repetition_filters,
     }
 
 
@@ -2769,6 +2804,43 @@ def oracle_sql() -> dict[str, str]:
         WHERE ts > TIMESTAMP '2024-01-08 00:00:00'
           AND ts <= TIMESTAMP '2024-01-22 00:00:00'
         GROUP BY 1, 2"""
+    # Repetition filters: identical token/bigram/sentence list math in
+    # DuckDB lambdas (generate_series(1,0) and Spark's guarded sequence
+    # both yield the empty bigram list for 1-token docs).
+    sqls["repetition_filters"] = r"""
+        WITH laced AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 0 THEN text || '. ' || text
+                      ELSE text END AS text
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM laced
+        ),
+        bg AS (
+          SELECT doc_id, text, t, len(t) AS n,
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i + 1]) AS bigrams
+          FROM tok
+        ),
+        m AS (
+          SELECT doc_id, text, n,
+                 CASE WHEN n <= 1 THEN 0.0
+                      ELSE CAST(list_max(list_transform(list_distinct(bigrams),
+                             b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+                           / (n - 1) END AS bigram_frac,
+                 CASE WHEN len(string_split(text, '. ')) <= 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(string_split(text, '. '))) AS DOUBLE)
+                                 / len(string_split(text, '. ')) END AS dup_frac
+          FROM bg
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               round(bigram_frac, 6) AS top_bigram_frac,
+               round(dup_frac, 6) AS dup_sent_frac,
+               (bigram_frac <= 0.2 AND dup_frac <= 0.3) AS keep
+        FROM m"""
     # Streaming ingest feeding the batch cascade == direct rollup.
     sqls["streaming_ingest_rollup"] = f"""
         SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts, {_AGG_SQL}

@@ -146,3 +146,39 @@ def test_pii_redaction_counts_and_placeholders(spark):
     assert r["overlap"].n_emails == 1 and r["overlap"].n_ips >= 1
     assert r["clean t"].n_emails == 0
     assert r["clean t"].redacted_text == pdf["text"][3]
+
+
+def test_repetition_filters_hand_computed(spark):
+    import pandas as pd
+
+    from isp_trace_parser_spark.functions.text import (
+        dup_sentence_fraction,
+        top_bigram_fraction,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "text": [
+                # bigrams: "a b","b a","a b","b a","a b" -> top "a b" 3/5
+                "a b a b a b",
+                # all bigrams distinct -> 1/3
+                "w x y z",
+                # single token -> 0.0 by definition
+                "solo",
+                # sentences: s1. s2. s1 -> dup fraction 1 - 2/3
+                "red fox. blue cat. red fox",
+            ]
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        "text",
+        top_bigram_fraction(F.col("text")).alias("bf"),
+        dup_sentence_fraction(F.col("text")).alias("sf"),
+    )
+    r = {row["text"][:4]: row for row in df.collect()}
+    assert abs(r["a b "]["bf"] - 3 / 5) < 1e-12
+    assert abs(r["w x "]["bf"] - 1 / 3) < 1e-12
+    assert r["solo"]["bf"] == 0.0
+    assert abs(r["red "]["sf"] - (1 - 2 / 3)) < 1e-12
+    assert r["w x "]["sf"] == 0.0
