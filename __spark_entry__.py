@@ -2010,6 +2010,26 @@ def q_repetition_filters(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-token training-window chunking with overlap
+    (functions/text.chunk_documents): chunk i covers tokens
+    [i*30, i*30+40); last chunk short; short docs yield one chunk.
+    Emitted via inline (generator — no shuffle, chunks stream out of
+    the scan). md5 of each chunk text pins byte-identical chunking
+    against the DuckDB list-slice oracle."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=40, overlap=10)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_n_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -2096,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_read": q_time_travel_read,
         "streaming_ingest_rollup": q_streaming_ingest_rollup,
         "repetition_filters": q_repetition_filters,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2841,6 +2862,29 @@ def oracle_sql() -> dict[str, str]:
                round(dup_frac, 6) AS dup_sent_frac,
                (bigram_frac <= 0.2 AND dup_frac <= 0.3) AS keep
         FROM m"""
+    # Chunking: identical stride/window math with DuckDB list slicing.
+    sqls["chunk_documents"] = r"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, t, len(t) AS n,
+                 1 + (CASE WHEN len(t) > 40
+                           THEN (len(t) - 40 + 29) // 30 ELSE 0 END) AS n_chunks
+          FROM tok
+        ),
+        c AS (
+          SELECT doc_id, t, n,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+          FROM b
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(t, chunk_id * 30 + 1,
+                                   least(chunk_id * 30 + 40, n))) AS BIGINT) AS chunk_n_tokens,
+               md5(array_to_string(list_slice(t, chunk_id * 30 + 1,
+                                              least(chunk_id * 30 + 40, n)), ' ')) AS chunk_md5
+        FROM c"""
     # Streaming ingest feeding the batch cascade == direct rollup.
     sqls["streaming_ingest_rollup"] = f"""
         SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts, {_AGG_SQL}

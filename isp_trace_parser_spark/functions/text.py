@@ -224,3 +224,46 @@ def dup_sentence_fraction(text: Column) -> Column:
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(sents)).cast("double") / total
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-token training windows with overlap
+    (the standard LLM context-window prep): chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; the last chunk may be short; a doc shorter than one chunk
+    yields exactly one chunk.
+
+    Chunk boundaries are computed as array expressions and emitted with
+    ``inline`` (a generator — chunks stream out of the scan stage, no
+    shuffle, no materialized intermediate). Deterministic: same doc =>
+    same chunks on any cluster.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    id_cols = id_cols or ["doc_id"]
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    extra = F.greatest(n - chunk_tokens, F.lit(0))
+    n_chunks = (
+        F.floor((extra + F.lit(stride - 1)) / F.lit(stride)) + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.size(F.slice(toks, i * stride + 1, chunk_tokens))
+            .cast("long")
+            .alias("chunk_n_tokens"),
+        ),
+    )
+    return df.select(*id_cols, F.inline(chunks))

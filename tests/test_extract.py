@@ -182,3 +182,30 @@ def test_repetition_filters_hand_computed(spark):
     assert r["solo"]["bf"] == 0.0
     assert abs(r["red "]["sf"] - (1 - 2 / 3)) < 1e-12
     assert r["w x "]["sf"] == 0.0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    import pandas as pd
+
+    from isp_trace_parser_spark.functions.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(25))  # 25 tokens
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [text, "short doc"]})
+    out = (
+        chunk_documents(
+            spark.createDataFrame(pdf), chunk_tokens=10, overlap=4
+        )
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    # stride 6: starts 0,6,12,18,24 -> ceil((25-10)/6)+1 = 4? (25-10+5)//6+1
+    # = 20//6+1 = 3+1 = 4 chunks, last covers tokens 18..24 (7 tokens)
+    assert list(d1["chunk_id"]) == [0, 1, 2, 3]
+    assert list(d1["chunk_n_tokens"]) == [10, 10, 10, 7]
+    assert d1.iloc[0]["chunk_text"].split()[0] == "t0"
+    assert d1.iloc[1]["chunk_text"].split()[0] == "t6"  # overlap of 4
+    assert d1.iloc[3]["chunk_text"].split()[-1] == "t24"
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["chunk_n_tokens"] == 2
