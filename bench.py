@@ -42,8 +42,10 @@ HEADLINE = [
     "asof_join_nearest",
     "source_quality_report",
     # round-3 continuation: URL canonicalization + irregular-series TWA
+    # + the interpreted-array-lambda curation path
     "domain_stats",
     "time_weighted_avg",
+    "repetition_filters",
 ]
 
 
