@@ -1641,11 +1641,16 @@ def q_snapshot_lineage(spark, sf_dir):
     rows = []
     for t in ("pages", "agg_30m", "agg_1d"):
         snap = cat.last_snapshot(t)
-        parts = sorted({rel.split("/", 1)[0] for rel in snap["partitions"]})
+        per_top: dict[str, int] = {}
+        for rel, m in snap["partitions"].items():
+            top = rel.split("/", 1)[0]
+            per_top[top] = per_top.get(top, 0) + m["rows"]
         inp = snap.get("lineage", {}).get("input_table")
-        rows.extend((t, p, inp) for p in parts)
+        rows.extend((t, p, per_top[p], inp) for p in sorted(per_top))
     return spark.createDataFrame(
-        rows, "table_name string, partition_dir string, input_table string"
+        rows,
+        "table_name string, partition_dir string, n_rows long, "
+        "input_table string",
     )
 
 
@@ -2961,20 +2966,25 @@ def oracle_sql() -> dict[str, str]:
     # from raw events with the same end-of-period bucket labels the
     # engine's partition keys use.
     sqls["snapshot_lineage"] = f"""
-        SELECT DISTINCT 'pages' AS table_name,
+        SELECT 'pages' AS table_name,
                'day_bucket=' || strftime(CAST(ts - INTERVAL 1 SECOND AS DATE), '%Y-%m-%d') AS partition_dir,
+               CAST(count(*) AS BIGINT) AS n_rows,
                CAST(NULL AS VARCHAR) AS input_table
-        FROM events
+        FROM events GROUP BY 2
         UNION ALL
-        SELECT DISTINCT 'agg_30m',
-               'day_bucket=' || strftime(CAST({_bucket_sql("ts", SEC_30M)} - INTERVAL 1 SECOND AS DATE), '%Y-%m-%d'),
-               'pages'
-        FROM events
+        SELECT 'agg_30m',
+               'day_bucket=' || strftime(CAST(bucket_ts - INTERVAL 1 SECOND AS DATE), '%Y-%m-%d'),
+               CAST(count(*) AS BIGINT), 'pages'
+        FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) AS series,
+                     {_bucket_sql("ts", SEC_30M)} AS bucket_ts FROM events)
+        GROUP BY 2
         UNION ALL
-        SELECT DISTINCT 'agg_1d',
-               'month_bucket=' || strftime({_bucket_sql("ts", SEC_1D)} - INTERVAL 1 SECOND, '%Y-%m'),
-               'agg_30m'
-        FROM events"""
+        SELECT 'agg_1d',
+               'month_bucket=' || strftime(bucket_ts - INTERVAL 1 SECOND, '%Y-%m'),
+               CAST(count(*) AS BIGINT), 'agg_30m'
+        FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) AS series,
+                     {_bucket_sql("ts", SEC_1D)} AS bucket_ts FROM events)
+        GROUP BY 2"""
     # Linear-interpolation gap-fill: same spine as gapfill_30m, then
     # prev/next IGNORE NULLS windows and the exact arithmetic shape of
     # operators/gapfill.interpolate_gaps (doubles match bit-for-bit).

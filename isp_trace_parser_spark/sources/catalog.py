@@ -37,6 +37,7 @@ import time
 import uuid
 from typing import Any
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -362,6 +363,19 @@ class Catalog:
                 continue
             rel = os.path.relpath(root, base)
             b = sum(os.path.getsize(os.path.join(root, f)) for f in pqs)
+            # exact row counts from parquet footers (north_rule:
+            # per-partition rows/bytes metrics). O(footer) per file,
+            # only for partitions this commit touches — no data scan,
+            # no Spark job.
+            rows = 0
+            for f in pqs:
+                try:
+                    rows += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+                except Exception:
+                    rows = -1  # unreadable footer: mark unknown, never lie
+                    break
             # fingerprint = hash of (name, size) pairs: every Spark write
             # produces fresh part-file UUIDs, so any rewrite changes the
             # sig — the basis for snapshot-diff incremental processing
@@ -374,6 +388,7 @@ class Catalog:
             out[rel if rel != "." else ""] = {
                 "files": len(pqs),
                 "bytes": b,
+                "rows": rows,
                 "sig": sig,
                 # file-level manifest: makes snapshots READABLE, not just
                 # diffable — read_at() reconstructs the table as of any
@@ -427,6 +442,10 @@ class Catalog:
                     part_metrics.update(self._stat_tree(pdir, base=path))
         total_bytes = sum(m["bytes"] for m in part_metrics.values())
         n_files = sum(m["files"] for m in part_metrics.values())
+        # carried-forward partitions from pre-rows snapshots may lack the
+        # field; -1 marks an unknown footer — propagate, never guess
+        row_parts = [m.get("rows", -1) for m in part_metrics.values()]
+        total_rows = -1 if any(r < 0 for r in row_parts) else sum(row_parts)
         snap = {
             "snapshot_id": uuid.uuid4().hex[:16],
             "ts": time.time(),
@@ -434,6 +453,7 @@ class Catalog:
             "partition_by": partition_by or [],
             "files": n_files,
             "bytes": total_bytes,
+            "rows": total_rows,
             "partitions": part_metrics,
             "lineage": lineage or {},
             **(extra or {}),
