@@ -521,6 +521,105 @@ class Catalog:
             )
         return self.spark.read.option("basePath", path).parquet(*files)
 
+    def _manifest_files(self, snap: dict[str, Any], path: str) -> set[str]:
+        """Absolute data-file paths a snapshot's manifest references."""
+        out: set[str] = set()
+        for rel, m in snap.get("partitions", {}).items():
+            pdir = os.path.join(path, rel) if rel else path
+            for fn in m.get("names", []):
+                out.add(os.path.join(pdir, fn))
+        return out
+
+    def vacuum(self, name: str) -> dict[str, Any]:
+        """Remove orphan files (Iceberg ``remove_orphan_files`` analog):
+        parquet files under the table directory that the LAST snapshot's
+        manifest does not reference — crash leftovers from interrupted
+        writes, files of rolled-back appends — plus stray hidden
+        tmp/parked dirs older than a completed compaction recovery.
+        Driver-side metadata work: one walk of the table tree, deletes
+        only; never touches a file the current snapshot references, and
+        refuses to run if the last snapshot predates file manifests."""
+        path = self.table_path(name)
+        last = self.last_snapshot(name)
+        if last is None:
+            raise ValueError(f"unknown table {name!r}")
+        if any(
+            "names" not in m for m in last.get("partitions", {}).values()
+        ):
+            raise ValueError(
+                "last snapshot predates file manifests; commit once with "
+                "this engine version before vacuuming"
+            )
+        live = self._manifest_files(last, path)
+        removed_files: list[str] = []
+        removed_dirs: list[str] = []
+        for root, dirs, files in os.walk(path):
+            for d in list(dirs):
+                if d.startswith((".", "_")) and d.endswith(
+                    (".compact_tmp", ".compact_old")
+                ):
+                    shutil.rmtree(os.path.join(root, d))
+                    removed_dirs.append(os.path.relpath(os.path.join(root, d), path))
+                    dirs.remove(d)
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                fp = os.path.join(root, f)
+                if fp not in live:
+                    os.remove(fp)
+                    removed_files.append(os.path.relpath(fp, path))
+        return self.commit_snapshot(
+            name,
+            "vacuum",
+            lineage={
+                "removed_files": sorted(removed_files),
+                "removed_dirs": sorted(removed_dirs),
+            },
+        )
+
+    def rollback(self, name: str, snapshot_id: str) -> dict[str, Any]:
+        """Restore the table to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot`` analog, append-only history): verify
+        every file the target manifest references still exists, delete
+        the files later commits added, and commit a ``rollback``
+        snapshot. Fails loud (no partial rollback) if the target's files
+        were rewritten by an overwrite/compact/expire in between."""
+        path = self.table_path(name)
+        target = next(
+            (s for s in self.snapshots(name) if s["snapshot_id"] == snapshot_id),
+            None,
+        )
+        if target is None:
+            raise ValueError(f"unknown snapshot {snapshot_id!r} for {name!r}")
+        keep = self._manifest_files(target, path)
+        missing = [fp for fp in keep if not os.path.exists(fp)]
+        if missing:
+            raise ValueError(
+                f"cannot roll {name!r} back to {snapshot_id!r}: "
+                f"{len(missing)} referenced file(s) no longer exist "
+                f"(rewritten/expired); first missing: {missing[0]}"
+            )
+        removed: list[str] = []
+        for root, dirs, files in os.walk(path, topdown=False):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                fp = os.path.join(root, f)
+                if fp not in keep:
+                    os.remove(fp)
+                    removed.append(os.path.relpath(fp, path))
+            if not os.listdir(root) and root != path:
+                os.rmdir(root)  # drop now-empty partition dirs
+        return self.commit_snapshot(
+            name,
+            "rollback",
+            lineage={
+                "rolled_back_to": snapshot_id,
+                "removed_files": sorted(removed),
+            },
+        )
+
     # -- retention -----------------------------------------------------------
     def list_partitions(self, name: str, partition_col: str) -> list[str]:
         """Top-level partition values of ``partition_col`` (string form)."""

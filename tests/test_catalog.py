@@ -365,3 +365,56 @@ def test_narrow_projection_prunes_scan_columns(spark, cat):
     )
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert rs and "v:double" in rs[0] and "payload" not in rs[0], plan
+
+
+def test_vacuum_removes_orphans_keeps_live(spark, cat):
+    """vacuum() deletes parquet files the last manifest doesn't
+    reference (crash leftovers) and stray compaction dirs, and never
+    touches live data."""
+    import os
+
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}))
+    cat.write(df, "vac", partition_by=["k"])
+    path = cat.table_path("vac")
+    orphan = os.path.join(path, "k=a", "part-orphan-junk.parquet")
+    spark.createDataFrame(pd.DataFrame({"v": [99]})).toPandas().to_parquet(orphan)
+    os.makedirs(os.path.join(path, ".k=zz.compact_tmp"))
+    before = cat.read("vac").count()  # dir-scan read WOULD see the orphan
+    snap = cat.vacuum("vac")
+    assert "k=a/part-orphan-junk.parquet" in snap["lineage"]["removed_files"]
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(path, ".k=zz.compact_tmp"))
+    assert cat.read("vac").count() == 2
+    assert snap["operation"] == "vacuum"
+    assert before >= 2  # sanity: orphan was visible pre-vacuum
+
+
+def test_rollback_restores_earlier_snapshot(spark, cat):
+    """rollback() to an append-history snapshot removes the later
+    tranche's files and the live read equals the old state; rolling
+    back past a rewrite fails loud."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 3 + ["b"] * 3, "v": range(6)})
+    )
+    s1 = cat.write(df.where("v < 3"), "rb", partition_by=["k"])
+    cat.write(df.where("v >= 3"), "rb", partition_by=["k"], mode="append")
+    assert cat.read("rb").count() == 6
+    snap = cat.rollback("rb", s1["snapshot_id"])
+    assert cat.read("rb").count() == 3
+    assert snap["lineage"]["rolled_back_to"] == s1["snapshot_id"]
+    assert snap["rows"] == 3  # footer-derived row metric reflects rollback
+
+    # dynamic overwrite rewrites k=a; old snapshot unreachable
+    s3 = cat.last_snapshot("rb")
+    cat.write(
+        df.where("v < 3").withColumn("v", F.col("v") + 10),
+        "rb", partition_by=["k"], mode="dynamic",
+    )
+    with pytest.raises(ValueError, match="no longer exist"):
+        cat.rollback("rb", s1["snapshot_id"])
