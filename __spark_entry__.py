@@ -2035,6 +2035,39 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_rollback_read(spark, sf_dir):
+    """Rollback-to-snapshot (Iceberg rollback analog): append a bad
+    tranche (odd event_ids), roll the table back to the first snapshot,
+    and the LIVE directory read — not a manifest read — must equal the
+    first tranche: rollback physically restored the table state."""
+    _prep(spark)
+    import tempfile
+
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="rb_wh_"))
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    s1 = cat.write(
+        ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+        "ev",
+        partition_by=["day"],
+        sort_within=["user_id", "ts"],
+    )
+    cat.write(
+        ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1),
+        "ev",
+        partition_by=["day"],
+        sort_within=["user_id", "ts"],
+        mode="append",
+    )
+    cat.rollback("ev", s1["snapshot_id"])
+    return cat.read("ev").select(
+        "user_id", "event_id", "ts", _q("value", 4).alias("value"), "day"
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -2122,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_rollup": q_streaming_ingest_rollup,
         "repetition_filters": q_repetition_filters,
         "chunk_documents": q_chunk_documents,
+        "rollback_read": q_rollback_read,
     }
 
 
@@ -2894,6 +2928,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["streaming_ingest_rollup"] = f"""
         SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts, {_AGG_SQL}
         FROM events GROUP BY 1, 2"""
+    # Rollback: the restored live table equals the first tranche.
+    sqls["rollback_read"] = """
+        SELECT user_id, event_id, ts, round(value, 4) AS value,
+               strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_id % 2 = 0"""
     # Time travel: the first snapshot sees only the first tranche.
     sqls["time_travel_read"] = """
         SELECT user_id, event_id, ts, round(value, 4) AS value,
