@@ -2068,6 +2068,40 @@ def q_rollback_read(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The whole training-data curation flow composed end-to-end:
+    exact dedup (min-doc_id canonical) -> min-length filter ->
+    deterministic stratified sampling (portable bucket) -> training-
+    window chunking -> per-language corpus summary. Pins that the
+    operators COMPOSE — each piece is separately oracle-backed, this
+    row hashes the composition against one CTE-chain oracle."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.sampling import stratified_sample
+    from isp_trace_parser_spark.functions.text import _tokens, chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    canonical = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = docs.join(canonical, ["doc_id", "text"], "inner")
+    toked = deduped.withColumn("n", F.size(_tokens(F.col("text"))))
+    filt = toked.where(F.col("n") >= 20)
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000))
+    sampled = stratified_sample(
+        filt, "lang", {"en": 0.5}, ["doc_id"], default_rate=0.75,
+        bucket=bucket,
+    )
+    chunks = chunk_documents(
+        sampled, chunk_tokens=40, overlap=10, id_cols=["doc_id", "lang"]
+    )
+    per_lang_chunks = chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    per_lang_tokens = sampled.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_tokens")
+    )
+    return per_lang_chunks.join(per_lang_tokens, "lang")
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -2156,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": q_repetition_filters,
         "chunk_documents": q_chunk_documents,
         "rollback_read": q_rollback_read,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2928,6 +2963,25 @@ def oracle_sql() -> dict[str, str]:
     sqls["streaming_ingest_rollup"] = f"""
         SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts, {_AGG_SQL}
         FROM events GROUP BY 1, 2"""
+    # Curation composition: same dedup/filter/sample/chunk math chained.
+    sqls["curation_pipeline"] = r"""
+        WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        docs2 AS (SELECT d.* FROM documents d JOIN dd USING (doc_id)),
+        tok AS (SELECT doc_id, lang,
+                       len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+                FROM docs2),
+        filt AS (SELECT * FROM tok WHERE n >= 20),
+        samp AS (SELECT * FROM filt
+                 WHERE (doc_id * 2654435761) % 1000000 <
+                       CASE lang WHEN 'en' THEN 500000 ELSE 750000 END),
+        ch AS (SELECT doc_id, lang, n,
+                      1 + (CASE WHEN n > 40 THEN (n - 40 + 29) // 30
+                                ELSE 0 END) AS n_chunks
+               FROM samp)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+               CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM ch GROUP BY lang"""
     # Rollback: the restored live table equals the first tranche.
     sqls["rollback_read"] = """
         SELECT user_id, event_id, ts, round(value, 4) AS value,
