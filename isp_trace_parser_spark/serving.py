@@ -108,3 +108,64 @@ class TierStore:
                 & (F.col(partition_col).cast("string") <= hi)
             )
         return df
+
+
+def series_30m_from_blocks(
+    cat: Catalog,
+    series: str | list[str] | None = None,
+    start: datetime.datetime | None = None,
+    end: datetime.datetime | None = None,
+    table: str = "blocks_30m",
+    block_span: str = "7 days",
+) -> DataFrame:
+    """COLD-tier read: serve 30m points by decoding Gorilla blocks.
+
+    The hot path serves from the agg tables (TierStore); once a
+    retention policy expires those, the compressed blocks are the
+    surviving copy. Reads prune twice before any decode work:
+    day_bucket partition pruning (directory listing) and a
+    ``block_start`` predicate bounding the window to overlapping
+    blocks — both reach the scan, so only the window's blocks cross
+    into the decode ``mapInPandas``. Output schema matches the 30m
+    tier's (series, bucket_ts, avg_value).
+
+    ``block_span`` must match the span blocks were encoded with
+    (pipeline ``block_size``); a larger value only widens pruning
+    (correct, slower), a smaller one silently DROPS boundary blocks —
+    so pass the pipeline's value.
+    """
+    from isp_trace_parser_spark.operators import codec
+
+    df = cat.read(table)
+    if series is not None:
+        vals = series if isinstance(series, list) else [series]
+        df = df.where(F.col("series").isin(vals))
+    span_days = int(block_span.split()[0]) if "day" in block_span else 1
+    if end is not None:
+        df = df.where(F.col("block_start") < F.lit(end))
+        if "day_bucket" in df.columns:
+            df = df.where(
+                F.col("day_bucket") <= F.lit(end.date().isoformat())
+            )
+    if start is not None:
+        # a block overlaps the window if it STARTS within span of it;
+        # the partition bound mirrors that (day_bucket = block start's
+        # date, so the lower bound backs off a full span)
+        df = df.where(
+            F.col("block_start")
+            + F.expr(f"INTERVAL {span_days} DAYS")
+            > F.lit(start)
+        )
+        if "day_bucket" in df.columns:
+            lo = (start - datetime.timedelta(days=span_days)).date()
+            df = df.where(F.col("day_bucket") >= F.lit(lo.isoformat()))
+    out = codec.decode_blocks(df.drop("day_bucket", "n_points", "raw_bytes",
+                                      "enc_bytes"))
+    if start is not None:
+        out = out.where(F.col("ts") > F.lit(start))
+    if end is not None:
+        out = out.where(F.col("ts") <= F.lit(end))
+    return out.select(
+        "series", F.col("ts").alias("bucket_ts"),
+        F.col("value").alias("avg_value"),
+    )

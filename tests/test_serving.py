@@ -84,3 +84,41 @@ def test_serving_rejects_unservable_resolution(spark, store):
     cat, _ = store
     with pytest.raises(ValueError, match="no stored tier"):
         TierStore(cat).series(resolution="45m")
+
+
+def test_cold_tier_blocks_serving_matches_hot_tier(spark, tmp_path):
+    """series_30m_from_blocks (decode the Gorilla cold tier) must return
+    exactly the hot 30m tier's points for the same window — bit-equal
+    avg values, same rows — with block+partition pruning applied."""
+    import datetime
+
+    from isp_trace_parser_spark import synth
+    from isp_trace_parser_spark.pipeline import ingest_pages, run_rollup_pipeline
+    from isp_trace_parser_spark.serving import TierStore, series_30m_from_blocks
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    pages = synth.pages(spark, n_urls=12, n_slots=48 * 14, gap_pct=3).select(
+        "url", "warc_ts", "value"
+    )
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(spark, cat, block_size="7 days")
+
+    start = datetime.datetime(2024, 1, 4)
+    end = datetime.datetime(2024, 1, 11)
+    hot = (
+        TierStore(cat)
+        .series(start=start, end=end, resolution="30m")
+        .select("series", "bucket_ts", "avg_value")
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    cold = (
+        series_30m_from_blocks(cat, start=start, end=end, block_span="7 days")
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(hot) > 0
+    assert hot.equals(cold)
