@@ -2102,6 +2102,44 @@ def q_curation_pipeline(spark, sf_dir):
     return per_lang_chunks.join(per_lang_tokens, "lang")
 
 
+def q_cold_tier_serving(spark, sf_dir):
+    """Cold-tier serving end-to-end: the full pipeline (including the
+    Gorilla block stage) lands events-as-pages, then the window is
+    served by DECODING the compressed blocks (partition + block_start
+    pruning; serving.series_30m_from_blocks) — the read path that
+    survives after retention expires the hot agg tables. Must equal a
+    direct 30m SQL rollup of the window."""
+    _prep(spark)
+    import datetime
+    import tempfile
+
+    from isp_trace_parser_spark.pipeline import (
+        ingest_pages,
+        run_rollup_pipeline,
+    )
+    from isp_trace_parser_spark.serving import series_30m_from_blocks
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "value",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="cold_wh_") + "/wh")
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(spark, cat, sum_cast=DEC, block_size="7 days")
+    out = series_30m_from_blocks(
+        cat,
+        start=datetime.datetime(2024, 1, 8),
+        end=datetime.datetime(2024, 1, 22),
+        block_span="7 days",
+    )
+    return out.select(
+        "series", "bucket_ts", _q("avg_value", 4).alias("value")
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -2191,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "rollback_read": q_rollback_read,
         "curation_pipeline": q_curation_pipeline,
+        "cold_tier_serving": q_cold_tier_serving,
     }
 
 
@@ -2963,6 +3002,18 @@ def oracle_sql() -> dict[str, str]:
     sqls["streaming_ingest_rollup"] = f"""
         SELECT CAST(user_id AS VARCHAR) AS series, {b30} AS bucket_ts, {_AGG_SQL}
         FROM events GROUP BY 1, 2"""
+    # Cold-tier serving: decoded blocks == direct 30m rollup of window
+    # (same oracle as codec_range_decode — the path differs, not the
+    # answer).
+    sqls["cold_tier_serving"] = f"""
+        SELECT CAST(user_id AS VARCHAR) AS series,
+               {_bucket_sql("ts", SEC_30M)} AS bucket_ts,
+               round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                     / count(value), 4) AS value
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-22 00:00:00'
+        GROUP BY 1, 2"""
     # Curation composition: same dedup/filter/sample/chunk math chained.
     sqls["curation_pipeline"] = r"""
         WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
