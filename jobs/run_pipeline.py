@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--compact", action="store_true",
                     help="run small-file compaction on pages/agg_30m after "
                     "the pipeline (victims picked from snapshot metrics)")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="remove orphan files + stray tmp dirs on "
+                    "pages/agg_30m after the pipeline (manifest-driven GC)")
     ap.add_argument("--columns", choices=["full", "trace"], default="full",
                     help="'trace' ingests only (url, warc_ts, value) — the "
                     "rollup engine's input plane; 'full' includes the "
@@ -105,6 +108,14 @@ def main() -> None:
                 compacted[t] = snap.get("lineage", {}).get(
                     "compacted_partitions", []
                 )
+    vacuumed = {}
+    if args.vacuum:
+        for t in ("pages", "agg_30m"):
+            if cat.exists(t):
+                snap = cat.vacuum(t)
+                vacuumed[t] = len(
+                    snap.get("lineage", {}).get("removed_files", [])
+                )
 
     print(
         json.dumps(
@@ -117,6 +128,7 @@ def main() -> None:
                 "stages_skipped": res.stages_skipped,
                 "metrics": res.metrics,
                 "compacted": compacted,
+                "vacuumed_orphans": vacuumed,
             },
             default=str,
         )
