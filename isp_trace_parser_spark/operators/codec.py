@@ -267,13 +267,17 @@ def encode_blocks(
 ) -> DataFrame:
     """Points -> one encoded binary block per (series, block_start).
 
-    Implementation: hash-repartition on series (each series' blocks land
-    in one partition), sort within partitions by (series, block_start,
-    ts), then a single ``mapInPandas`` pass that encodes every complete
-    block in each Arrow batch, carrying the trailing partial block into
-    the next batch. This amortizes the Python/Arrow boundary over
-    thousands of blocks per call — ``applyInPandas`` per block pays that
-    overhead per GROUP, which is 10-50x slower for small blocks.
+    Implementation: hash-repartition on (series, block_start) — the
+    carry logic only needs each (series, block) GROUP to be contiguous
+    within a sorted partition, not each whole series, so a hot series'
+    history spreads across tasks instead of serializing one executor
+    (the hot-domain skew the synth generator models). Sort within
+    partitions by (series, block_start, ts), then a single
+    ``mapInPandas`` pass that encodes every complete block in each
+    Arrow batch, carrying the trailing partial block into the next
+    batch. This amortizes the Python/Arrow boundary over thousands of
+    blocks per call — ``applyInPandas`` per block pays that overhead
+    per GROUP, which is 10-50x slower for small blocks.
     """
     keyed = df.select(
         F.col(series_col).alias("series"),
@@ -283,7 +287,7 @@ def encode_blocks(
         F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
-    arranged = keyed.repartition("series").sortWithinPartitions(
+    arranged = keyed.repartition("series", "block_start").sortWithinPartitions(
         "series", "block_start", "ts"
     )
 

@@ -197,20 +197,35 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed so only
     same-bucket pairs join (plus nothing else — recall traded for the
-    equi-join; raise bits for precision, add multiprobe for recall)."""
+    equi-join; raise bits for precision, add multiprobe for recall).
+
+    Shuffle hygiene mirrors ``dedup.minhash_lsh_pairs``: the self-join
+    exchanges slim (id, bucket) rows only — the bucket bits are computed
+    map-side, the embedding column is pruned BEFORE the exchange, and
+    the full vectors are re-attached to the surviving candidate pairs
+    afterwards for the exact cosine. At 100 TB the candidate shuffle is
+    a few bytes/row instead of the d-dim vector payload twice over."""
     dim = int(df.select(F.size(vec_col)).first()[0])
     planes = _hyperplanes(dim, bits, seed)
-    b = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket_expr(vec_col, planes).alias("_bucket")
+    slim = df.select(
+        F.col(id_col), lsh_bucket_expr(vec_col, planes).alias("_bucket")
     )
-    x, y = b.alias("x"), b.alias("y")
-    pairs = (
+    x, y = slim.alias("x"), slim.alias("y")
+    cand = (
         x.join(y, "_bucket")
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
             F.col(f"x.{id_col}").alias("d1"),
             F.col(f"y.{id_col}").alias("d2"),
-            cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")).alias("cosine_sim"),
         )
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    pairs = (
+        cand.join(vecs.select(F.col(id_col).alias("d1"),
+                              F.col(vec_col).alias("_v1")), "d1")
+        .join(vecs.select(F.col(id_col).alias("d2"),
+                          F.col(vec_col).alias("_v2")), "d2")
+        .select("d1", "d2",
+                cosine(F.col("_v1"), F.col("_v2")).alias("cosine_sim"))
     )
     return pairs.where(F.col("cosine_sim") >= threshold)

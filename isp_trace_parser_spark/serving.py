@@ -32,6 +32,34 @@ from isp_trace_parser_spark.sources.catalog import Catalog
 
 _RES_RE = re.compile(r"^(\d+)\s*(m|min|h|d)$")
 
+# the duration units Spark's F.window (and therefore codec.encode_blocks)
+# accepts; anything else must fail loud rather than mis-prune
+_SPAN_RE = re.compile(
+    r"^\s*(\d+)\s*(week|day|hour|minute|second)s?\s*$", re.IGNORECASE
+)
+_SPAN_SECONDS = {
+    "week": 604800,
+    "day": 86400,
+    "hour": 3600,
+    "minute": 60,
+    "second": 1,
+}
+
+
+def block_span_seconds(block_span: str) -> int:
+    """Parse an ``encode_blocks`` span ('7 days', '36 hours', '2 weeks')
+    into seconds, with the same unit vocabulary Spark's ``F.window``
+    duration strings use. Raises for anything it cannot parse — a wrong
+    guess here silently drops boundary blocks from cold-tier reads."""
+    m = _SPAN_RE.match(block_span)
+    if not m:
+        raise ValueError(
+            f"unsupported block_span {block_span!r} — expected "
+            f"'<N> week|day|hour|minute|second(s)' (the F.window "
+            f"duration vocabulary encode_blocks accepts)"
+        )
+    return int(m.group(1)) * _SPAN_SECONDS[m.group(2).lower()]
+
 
 def resolution_seconds(resolution: str) -> int:
     """'30m' -> 1800, '2h' -> 7200, '1d' -> 86400 (calendar-month tiers
@@ -140,7 +168,10 @@ def series_30m_from_blocks(
     if series is not None:
         vals = series if isinstance(series, list) else [series]
         df = df.where(F.col("series").isin(vals))
-    span_days = int(block_span.split()[0]) if "day" in block_span else 1
+    span_s = block_span_seconds(block_span)
+    # day_bucket is the block START's date, so the lower partition
+    # bound backs off a whole number of days covering the span
+    span_days = max(1, -(-span_s // 86400))
     if end is not None:
         df = df.where(F.col("block_start") < F.lit(end))
         if "day_bucket" in df.columns:
@@ -153,7 +184,7 @@ def series_30m_from_blocks(
         # date, so the lower bound backs off a full span)
         df = df.where(
             F.col("block_start")
-            + F.expr(f"INTERVAL {span_days} DAYS")
+            + F.expr(f"INTERVAL {span_s} SECONDS")
             > F.lit(start)
         )
         if "day_bucket" in df.columns:

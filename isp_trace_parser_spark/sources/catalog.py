@@ -601,7 +601,14 @@ class Catalog:
             )
         removed: list[str] = []
         for root, dirs, files in os.walk(path, topdown=False):
-            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            # bottom-up walks ignore dirname mutation, so filter by path
+            # component instead: never descend into hidden/recovery dirs
+            # (.compact_old/.compact_tmp) — their files are not ours to GC
+            rel = os.path.relpath(root, path)
+            if rel != os.curdir and any(
+                c.startswith((".", "_")) for c in rel.split(os.sep)
+            ):
+                continue
             for f in files:
                 if not f.endswith(".parquet") or f.startswith((".", "_")):
                     continue

@@ -16,6 +16,15 @@ same epoch_id. We make the replay idempotent by skipping epochs already
 recorded in the table's snapshot lineage — the catalog log doubles as
 the sink-side commit log (the same two-phase pattern Spark's own
 ``ExactlyOnceWriter`` sinks use).
+
+Epoch ids are only unique *per checkpoint*: a new streaming query (new
+or reset checkpoint dir) restarts at epoch 0, so the committed-epoch
+set is scoped by ``epoch_scope`` (the checkpoint location) recorded in
+each snapshot's lineage. Without that scope, a second stream landing
+into a table that already holds committed epochs would skip its first
+N micro-batches as "already committed" — silent data loss. A query
+started without a checkpoint dir has no replay semantics at all, so
+the skip check is disabled entirely rather than mis-keyed.
 """
 
 from __future__ import annotations
@@ -31,11 +40,12 @@ from isp_trace_parser_spark.plans.partitioning import (
 from isp_trace_parser_spark.sources.catalog import Catalog
 
 
-def _committed_epochs(cat: Catalog, table: str) -> set[int]:
+def _committed_epochs(cat: Catalog, table: str, scope: str) -> set[int]:
     return {
         s["lineage"]["epoch_id"]
         for s in cat.snapshots(table)
         if "epoch_id" in s.get("lineage", {})
+        and s["lineage"].get("epoch_scope") == scope
     }
 
 
@@ -52,16 +62,24 @@ def streaming_ingest(
     Returns the StreamingQuery; callers await/stop it."""
 
     def _land(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in _committed_epochs(cat, table):
+        if checkpoint_dir is not None and epoch_id in _committed_epochs(
+            cat, table, checkpoint_dir
+        ):
             return  # replayed epoch after restart — already committed
         keyed = with_partition_keys(batch_df, n_buckets=n_buckets)
+        lineage: dict[str, Any] = {
+            "stage": "streaming_ingest",
+            "epoch_id": epoch_id,
+        }
+        if checkpoint_dir is not None:
+            lineage["epoch_scope"] = checkpoint_dir
         cat.write(
             keyed,
             table,
             partition_by=["day_bucket", "url_bucket"],
             sort_within=["url", "warc_ts"],
             mode="append" if cat.exists(table) else "overwrite",
-            lineage={"stage": "streaming_ingest", "epoch_id": epoch_id},
+            lineage=lineage,
         )
 
     writer = stream.writeStream.foreachBatch(_land).outputMode("append")

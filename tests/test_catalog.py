@@ -418,3 +418,28 @@ def test_rollback_restores_earlier_snapshot(spark, cat):
     )
     with pytest.raises(ValueError, match="no longer exist"):
         cat.rollback("rb", s1["snapshot_id"])
+
+
+def test_rollback_never_touches_recovery_dirs(spark, cat):
+    """rollback() must not descend into hidden '.'/'_'-prefixed dirs
+    (compaction recovery areas): their parquet files are not the
+    manifest's to GC (ADVICE r3 — the bottom-up walk ignored the
+    dirname filter)."""
+    import os
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 2 + ["b"] * 2, "v": range(4)})
+    )
+    s1 = cat.write(df.where("v < 2"), "rbh", partition_by=["k"])
+    cat.write(df.where("v >= 2"), "rbh", partition_by=["k"], mode="append")
+    path = cat.table_path("rbh")
+    hidden = os.path.join(path, "k=a", ".compact_old")
+    os.makedirs(hidden)
+    stash = os.path.join(hidden, "part-stash.parquet")
+    with open(stash, "wb") as f:
+        f.write(b"not a real parquet, just bytes to preserve")
+    cat.rollback("rbh", s1["snapshot_id"])
+    assert os.path.exists(stash), "rollback deleted a recovery-dir file"
+    assert cat.read("rbh").count() == 2

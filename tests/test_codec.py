@@ -101,3 +101,19 @@ def test_block_boundaries_daily(spark):
     # 3 days x 2 series -> 6 blocks, each 48 points
     assert len(blocks) == 6
     assert (blocks["n_points"] == 48).all()
+
+
+def test_encode_shuffle_keys_on_series_and_block(spark):
+    """The encode shuffle must key on (series, block_start), not series
+    alone: the carry logic only needs each (series, block) group
+    contiguous within a sorted partition, and keying on both spreads a
+    hot series' history across tasks instead of serializing one
+    executor (the hot-domain skew synth.pages models)."""
+    import re
+
+    pages = synth.pages(spark, n_urls=2, n_slots=48 * 2)
+    blocks = codec.encode_blocks(rollup_raw(pages))
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"hashpartitioning\(series#\d+, block_start#\d+", plan
+    ), plan

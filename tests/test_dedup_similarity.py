@@ -272,3 +272,28 @@ def test_dedup_keep_canonical(spark):
     )
     # one canonical per cluster (min id), isolated doc passes through
     assert keep == [1, 10, 99]
+
+
+def test_near_dup_self_join_sheds_vectors(spark):
+    """The LSH self-join must exchange slim (id, bucket) rows only —
+    the embedding column is pruned before the shuffle and re-attached
+    to surviving candidates (same hygiene as minhash_lsh_pairs). Pin it
+    via the formatted plan: no Exchange keyed on _bucket may carry the
+    vector column."""
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(rng.standard_normal((12, 8)))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.9, bits=4)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    bucket_exchanges = [
+        blk for blk in plan.split("\n\n")
+        if blk.lstrip().splitlines()
+        and "Exchange" in blk.lstrip().splitlines()[0]
+        and "hashpartitioning(_bucket" in blk
+    ]
+    assert bucket_exchanges, plan
+    for blk in bucket_exchanges:
+        assert "embedding" not in blk, blk

@@ -122,3 +122,52 @@ def test_cold_tier_blocks_serving_matches_hot_tier(spark, tmp_path):
     )
     assert len(hot) > 0
     assert hot.equals(cold)
+
+
+def test_block_span_parsing():
+    """Cold-tier pruning must parse every F.window duration unit
+    encode_blocks accepts, and fail loud on anything else — a silent
+    1-day fallback drops boundary blocks (ADVICE r3)."""
+    from isp_trace_parser_spark.serving import block_span_seconds
+
+    assert block_span_seconds("7 days") == 7 * 86400
+    assert block_span_seconds("1 day") == 86400
+    assert block_span_seconds("36 hours") == 36 * 3600
+    assert block_span_seconds("2 weeks") == 2 * 7 * 86400
+    assert block_span_seconds("90 minutes") == 5400
+    with pytest.raises(ValueError, match="unsupported block_span"):
+        block_span_seconds("1 fortnight")
+    with pytest.raises(ValueError, match="unsupported block_span"):
+        block_span_seconds("daily")
+
+
+def test_cold_tier_serving_non_day_span(spark, tmp_path):
+    """A '36 hours' block span must prune correctly (back off 2 days on
+    the partition bound, 36h on block_start) and still return exactly
+    the hot tier's window."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    pages = synth.pages(spark, n_urls=4, n_slots=48 * 6, gap_pct=0).select(
+        "url", "warc_ts", "value"
+    )
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(spark, cat, block_size="36 hours")
+    from isp_trace_parser_spark.serving import series_30m_from_blocks
+
+    start = datetime.datetime(2024, 1, 2)
+    end = datetime.datetime(2024, 1, 5)
+    hot = (
+        TierStore(cat)
+        .series(start=start, end=end, resolution="30m")
+        .select("series", "bucket_ts", "avg_value")
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    cold = (
+        series_30m_from_blocks(cat, start=start, end=end,
+                               block_span="36 hours")
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(hot) > 0 and hot.equals(cold)

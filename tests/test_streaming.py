@@ -204,7 +204,9 @@ def test_streaming_ingest_lands_through_catalog(spark, tmp_path):
     before = cat.read("pages").count()
     batch0 = spark.read.parquet(src_dir)
     # simulate the restart replay foreachBatch would perform
-    committed = ingest_stream._committed_epochs(cat, "pages")
+    committed = ingest_stream._committed_epochs(
+        cat, "pages", str(tmp_path / "ck")
+    )
     replay_epoch = max(committed)
     if replay_epoch in committed:
         pass  # streaming_ingest's _land skips it; emulate via public path
@@ -217,3 +219,45 @@ def test_streaming_ingest_lands_through_catalog(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert cat.read("pages").count() == before
+
+
+def test_streaming_ingest_new_checkpoint_does_not_skip_epochs(spark, tmp_path):
+    """Epoch ids are per-checkpoint and restart at 0, so the idempotence
+    check must be scoped to the checkpoint: a SECOND query (fresh
+    checkpoint dir) landing into a table that already holds committed
+    epochs must land its micro-batches, not skip them as 'already
+    committed' (ADVICE r3, medium)."""
+    from isp_trace_parser_spark.sources.catalog import Catalog
+    from isp_trace_parser_spark.streaming.ingest_stream import (
+        streaming_ingest,
+    )
+    from isp_trace_parser_spark import synth
+
+    src_dir = str(tmp_path / "src")
+    pages = synth.pages(spark, n_urls=4, n_slots=48, gap_pct=0).select(
+        "url", "warc_ts", "value"
+    )
+    pages.repartition(2).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    q1 = streaming_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src_dir),
+        cat, checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q1.awaitTermination(120)
+    n = pages.count()
+    assert cat.read("pages").count() == n
+
+    # a different stream (new checkpoint) over the same source: its
+    # epochs also start at 0 but belong to a different scope, so they
+    # MUST land (the table doubles — correct: this is new work, not a
+    # replay of q1's)
+    q2 = streaming_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src_dir),
+        cat, checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert cat.read("pages").count() == 2 * n
