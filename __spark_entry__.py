@@ -108,6 +108,69 @@ _AGG_SQL = """round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(va
        count(value) AS cnt_value"""
 
 
+# ----------------------------------------------- shared warehouse fixtures
+# The driver runs all contract rows in one process; per-row warehouse
+# rebuilds made the 8 pipeline-lifecycle rows dominate its correctness
+# budget (each built the same ingest + 3-tier cascade from scratch).
+# Rows that only READ a fully-pipelined warehouse share one
+# module-cached build per sf_dir; rows that MUTATE state clone it —
+# a file copy is ~2 orders of magnitude cheaper than recomputing the
+# cascade at sf0.01, and the clone exercises exactly the resume-from-
+# checkpoint path the north rule demands (the pipeline rerun sees the
+# clone's snapshots as its own prior run).
+ENTRY_BUCKETS = 8  # url-bucket fan-out — layout-only, results identical
+
+_FIXTURES: dict[tuple[str, str], str] = {}
+
+
+def _event_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table in the north rule's pages shape
+    (url, warc_ts, value)."""
+    return _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "value",
+    )
+
+
+def _pipelined_wh(spark: SparkSession, sf_dir: str) -> str:
+    """One shared events-as-pages warehouse per (process, sf_dir):
+    catalog ingest (day_bucket x url_bucket, sorted) + the full rollup
+    pipeline — 30m/1d/1mo tiers with exact decimal partials and weekly
+    Gorilla blocks. Read-only consumers use it in place; mutating rows
+    go through :func:`_clone_pipelined`."""
+    key = ("pipelined", sf_dir)
+    if key not in _FIXTURES:
+        import tempfile
+
+        from isp_trace_parser_spark.pipeline import (
+            ingest_pages,
+            run_rollup_pipeline,
+        )
+        from isp_trace_parser_spark.sources.catalog import Catalog
+
+        base = tempfile.mkdtemp(prefix="entry_wh_") + "/wh"
+        cat = Catalog(spark, base)
+        ingest_pages(
+            cat, _event_pages(spark, sf_dir), n_buckets=ENTRY_BUCKETS
+        )
+        run_rollup_pipeline(spark, cat, sum_cast=DEC, block_size="7 days")
+        _FIXTURES[key] = base
+    return _FIXTURES[key]
+
+
+def _clone_pipelined(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Private mutable copy of the pipelined warehouse (snapshot log
+    and data files are all relative paths, so a copy IS a valid
+    catalog)."""
+    import shutil
+    import tempfile
+
+    dst = tempfile.mkdtemp(prefix=prefix) + "/wh"
+    shutil.copytree(_pipelined_wh(spark, sf_dir), dst)
+    return dst
+
+
 # --------------------------------------------------------------- tiers
 def q_rollup_30m(spark, sf_dir):
     _prep(spark)
@@ -1245,27 +1308,15 @@ def q_tier_serving_2h(spark, sf_dir):
     the TierStore router — which reads the 30m TIER (never the raw
     table), prunes day partitions, and re-aggregates partials. Oracle
     aggregates the raw events directly: tier-served points must equal
-    raw-aggregated points exactly."""
+    raw-aggregated points exactly. Reads the shared pipelined
+    warehouse (built once per process — see _pipelined_wh)."""
     _prep(spark)
     import datetime
-    import tempfile
 
-    from isp_trace_parser_spark.pipeline import (
-        ingest_pages,
-        run_rollup_pipeline,
-    )
     from isp_trace_parser_spark.serving import TierStore
     from isp_trace_parser_spark.sources.catalog import Catalog
 
-    ev = _t(spark, sf_dir, "events")
-    pages = ev.select(
-        F.col("user_id").cast("string").alias("url"),
-        F.col("ts").alias("warc_ts"),
-        "value",
-    )
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="serve_wh_") + "/wh")
-    ingest_pages(cat, pages)
-    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    cat = Catalog(spark, _pipelined_wh(spark, sf_dir))
     out = TierStore(cat).series(
         start=datetime.datetime(2024, 1, 2),
         end=datetime.datetime(2024, 1, 4),
@@ -1286,26 +1337,20 @@ def q_tiered_retention(spark, sf_dir):
     full history the fine tiers have expired (agg_1d/agg_1mo still
     cover all 1000*sf points), and expiry is partition-granular (the
     surviving raw/30m rows are exactly the rows at/after each cutoff —
-    no rewrite, no partial-day loss)."""
+    no rewrite, no partial-day loss). Clones the shared pipelined
+    warehouse, then reruns the pipeline with the policy — the rollup
+    stages resume-skip (snapshot diff finds no new input) and only the
+    retention pass runs, which is exactly the crash-resume semantics
+    the north rule requires: a retention pass never forces
+    recomputation."""
     _prep(spark)
     import datetime
-    import tempfile
 
     from isp_trace_parser_spark.operators.retention import RetentionPolicy
-    from isp_trace_parser_spark.pipeline import (
-        ingest_pages,
-        run_rollup_pipeline,
-    )
+    from isp_trace_parser_spark.pipeline import run_rollup_pipeline
     from isp_trace_parser_spark.sources.catalog import Catalog
 
-    ev = _t(spark, sf_dir, "events")
-    pages = ev.select(
-        F.col("user_id").cast("string").alias("url"),
-        F.col("ts").alias("warc_ts"),
-        "value",
-    )
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="retain_wh_") + "/wh")
-    ingest_pages(cat, pages)
+    cat = Catalog(spark, _clone_pipelined(spark, sf_dir, "retain_wh_"))
     run_rollup_pipeline(
         spark,
         cat,
@@ -1619,25 +1664,12 @@ def q_snapshot_lineage(spark, sf_dir):
     record the right upstream table in its lineage. The oracle derives
     the expected partition inventory straight from raw events. Reading
     the snapshot records is O(partitions) driver-side metadata — the
-    same records the incremental scheduler diffs."""
+    same records the incremental scheduler diffs. Reads the shared
+    pipelined warehouse (built once per process)."""
     _prep(spark)
-    import tempfile
-
-    from isp_trace_parser_spark.pipeline import (
-        ingest_pages,
-        run_rollup_pipeline,
-    )
     from isp_trace_parser_spark.sources.catalog import Catalog
 
-    ev = _t(spark, sf_dir, "events")
-    pages = ev.select(
-        F.col("user_id").cast("string").alias("url"),
-        F.col("ts").alias("warc_ts"),
-        "value",
-    )
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="lineage_wh_") + "/wh")
-    ingest_pages(cat, pages)
-    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    cat = Catalog(spark, _pipelined_wh(spark, sf_dir))
     rows = []
     for t in ("pages", "agg_30m", "agg_1d"):
         snap = cat.last_snapshot(t)
@@ -1785,18 +1817,20 @@ def q_incremental_rollup(spark, sf_dir):
     )
     from isp_trace_parser_spark.sources.catalog import Catalog
 
-    ev = _t(spark, sf_dir, "events")
-    pages = ev.select(
-        F.col("user_id").cast("string").alias("url"),
-        F.col("ts").alias("warc_ts"),
-        "value",
-    )
+    pages = _event_pages(spark, sf_dir)
     cut = F.to_date(F.col("warc_ts") - F.expr("INTERVAL 1 SECOND"))
     cat = Catalog(spark, tempfile.mkdtemp(prefix="incr_wh_") + "/wh")
-    ingest_pages(cat, pages.where(cut < F.lit("2024-01-20")))
+    ingest_pages(
+        cat,
+        pages.where(cut < F.lit("2024-01-20")),
+        n_buckets=ENTRY_BUCKETS,
+    )
     run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
     ingest_pages(
-        cat, pages.where(cut >= F.lit("2024-01-20")), mode="dynamic"
+        cat,
+        pages.where(cut >= F.lit("2024-01-20")),
+        mode="dynamic",
+        n_buckets=ENTRY_BUCKETS,
     )
     run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
     return _round_aggs(cat.read("agg_30m").drop("day_bucket"))
@@ -1809,30 +1843,23 @@ def q_late_rewrite_rollup(spark, sf_dir):
     values and rerun. The per-partition file fingerprints flag the
     rewritten day, the pipeline recomputes exactly its buckets, and the
     final 30m tier must hash-match an oracle whose 01-10 values are
-    doubled at the source."""
+    doubled at the source. Starts from a CLONE of the shared pipelined
+    warehouse (the clone's snapshots are the prior run's checkpoints),
+    so only the rewrite + incremental recompute run here."""
     _prep(spark)
-    import tempfile
-
     from isp_trace_parser_spark.pipeline import (
         ingest_pages,
         run_rollup_pipeline,
     )
     from isp_trace_parser_spark.sources.catalog import Catalog
 
-    ev = _t(spark, sf_dir, "events")
-    pages = ev.select(
-        F.col("user_id").cast("string").alias("url"),
-        F.col("ts").alias("warc_ts"),
-        "value",
-    )
+    pages = _event_pages(spark, sf_dir)
     day = F.to_date(F.col("warc_ts") - F.expr("INTERVAL 1 SECOND"))
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="rewrite_wh_") + "/wh")
-    ingest_pages(cat, pages)
-    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    cat = Catalog(spark, _clone_pipelined(spark, sf_dir, "rewrite_wh_"))
     rewritten = pages.where(day == F.lit("2024-01-10")).withColumn(
         "value", F.col("value") * 2
     )
-    ingest_pages(cat, rewritten, mode="dynamic")
+    ingest_pages(cat, rewritten, mode="dynamic", n_buckets=ENTRY_BUCKETS)
     run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
     return _round_aggs(cat.read("agg_30m").drop("day_bucket"))
 
@@ -1843,27 +1870,15 @@ def q_tier_serving_3d(spark, sf_dir):
     30m tier, never raw), sliced to the window with partition pruning,
     then re-aggregated from exact partials. Day-aligned window bounds
     make tier-bucket slicing equal raw-ts slicing, so the oracle is a
-    direct 3d rollup of raw events in the window."""
+    direct 3d rollup of raw events in the window. Reads the shared
+    pipelined warehouse (built once per process)."""
     _prep(spark)
     import datetime
-    import tempfile
 
-    from isp_trace_parser_spark.pipeline import (
-        ingest_pages,
-        run_rollup_pipeline,
-    )
     from isp_trace_parser_spark.serving import TierStore
     from isp_trace_parser_spark.sources.catalog import Catalog
 
-    ev = _t(spark, sf_dir, "events")
-    pages = ev.select(
-        F.col("user_id").cast("string").alias("url"),
-        F.col("ts").alias("warc_ts"),
-        "value",
-    )
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="serve3d_wh_") + "/wh")
-    ingest_pages(cat, pages)
-    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    cat = Catalog(spark, _pipelined_wh(spark, sf_dir))
     out = TierStore(cat).series(
         start=datetime.datetime(2024, 1, 3),
         end=datetime.datetime(2024, 1, 27),
@@ -1975,7 +1990,9 @@ def q_streaming_ingest_rollup(spark, sf_dir):
     )
     base = tempfile.mkdtemp(prefix="sting_wh_")
     cat = Catalog(spark, base + "/wh")
-    q = streaming_ingest(stream, cat, checkpoint_dir=base + "/ck")
+    q = streaming_ingest(
+        stream, cat, n_buckets=ENTRY_BUCKETS, checkpoint_dir=base + "/ck"
+    )
     q.awaitTermination(300)
     run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
     return _round_aggs(cat.read("agg_30m").drop("day_bucket"))
@@ -2108,27 +2125,16 @@ def q_cold_tier_serving(spark, sf_dir):
     served by DECODING the compressed blocks (partition + block_start
     pruning; serving.series_30m_from_blocks) — the read path that
     survives after retention expires the hot agg tables. Must equal a
-    direct 30m SQL rollup of the window."""
+    direct 30m SQL rollup of the window. Reads the shared pipelined
+    warehouse (built once per process — its block stage uses the same
+    7-day span)."""
     _prep(spark)
     import datetime
-    import tempfile
 
-    from isp_trace_parser_spark.pipeline import (
-        ingest_pages,
-        run_rollup_pipeline,
-    )
     from isp_trace_parser_spark.serving import series_30m_from_blocks
     from isp_trace_parser_spark.sources.catalog import Catalog
 
-    ev = _t(spark, sf_dir, "events")
-    pages = ev.select(
-        F.col("user_id").cast("string").alias("url"),
-        F.col("ts").alias("warc_ts"),
-        "value",
-    )
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="cold_wh_") + "/wh")
-    ingest_pages(cat, pages)
-    run_rollup_pipeline(spark, cat, sum_cast=DEC, block_size="7 days")
+    cat = Catalog(spark, _pipelined_wh(spark, sf_dir))
     out = series_30m_from_blocks(
         cat,
         start=datetime.datetime(2024, 1, 8),

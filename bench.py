@@ -25,6 +25,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Fixed-work CPU reference: min-of-4 of _calibrate() measured on this
+# sandbox while otherwise idle (2026-08-17, round 4). contention_factor
+# = calib_sec / CALIB_REF_SEC; >1 means the sandbox was slower than the
+# reference moment (co-tenant load), and *_normalized fields divide it
+# out so round-over-round comparisons measure the CODE, not the tenant
+# schedule (VERDICT r3: three rounds of driver-bench drift needed a
+# contention-calibrated baseline).
+CALIB_REF_SEC = 0.63
+
+
+def _calibrate(reps: int = 3) -> float:
+    """Deterministic single-thread numpy work (vectorized LCG over 2M
+    uint64, 300 passes): no BLAS threading, no allocation churn — the
+    same instructions every round, so its wall time moves only with the
+    machine. Returns min over ``reps`` runs."""
+    import numpy as np
+
+    best = float("inf")
+    for _ in range(reps):
+        x = np.arange(2_000_000, dtype=np.uint64)
+        t0 = time.perf_counter()
+        for _ in range(300):
+            x = x * np.uint64(2862933555777941757) + np.uint64(3037000493)
+        assert int(x.sum()) % 997 == 535  # fixed work, fixed answer
+        best = min(best, time.perf_counter() - t0)
+    return best
+
 HEADLINE = [
     "rollup_30m",
     "rollup_1d",
@@ -55,6 +82,10 @@ def main() -> None:
     from isp_trace_parser_spark.operators import codec, rollup
 
     import __spark_entry__ as entrymod
+
+    calib_start = _calibrate()
+    print(f"# cpu_calibration {calib_start:.4f}s (ref {CALIB_REF_SEC}s, "
+          f"factor {calib_start / CALIB_REF_SEC:.3f})", file=sys.stderr)
 
     spark = get_spark(
         app_name="bench",
@@ -124,24 +155,46 @@ def main() -> None:
         partitions=max(CPUS * 2, 32),
     ).select("url", "warc_ts", "value")
     n_rows = n_urls * n_slots  # upper bound; gaps remove ~5%
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="bench_wh_") + "/wh")
     n_days = max(1, n_slots // 48)
     buckets = max(1, min(64, (n_rows // n_days) // 250_000))
-    t0 = time.perf_counter()
-    ingest_pages(cat, pages, n_buckets=buckets)
-    ingest_dt = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    res = run_rollup_pipeline(spark, cat)
-    rollup_dt = time.perf_counter() - t1
-    stats = codec.compression_report(cat.read("blocks_30m")).collect()[0]
-    points = int(stats["points"])
-    ratio = float(stats["ratio"])
+    pages.cache().count()  # materialize synth outside every timed window
+
+    # cold + warm iterations, each into a FRESH warehouse — a rerun on
+    # the same warehouse would snapshot-diff-skip every stage and
+    # measure nothing. warm-min is the headline (VERDICT r3 #2: the
+    # cold-only pipeline line was contention-hostage three rounds
+    # running).
+    pipe_iters = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_ITERS", "2"))
+    ingest_dt = rollup_dt = None
+    pipe_warm: list[float] = []
+    points = ratio = None
+    for i in range(1 + pipe_iters):
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="bench_wh_") + "/wh")
+        t0 = time.perf_counter()
+        ingest_pages(cat, pages, n_buckets=buckets)
+        ing = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        run_rollup_pipeline(spark, cat)
+        rol = time.perf_counter() - t1
+        if i == 0:
+            ingest_dt, rollup_dt = ing, rol
+            stats = codec.compression_report(
+                cat.read("blocks_30m")
+            ).collect()[0]
+            points = int(stats["points"])
+            ratio = float(stats["ratio"])
+        else:
+            pipe_warm.append(rol)
+    pages.unpersist()
     results["ingest_pages"] = round(ingest_dt, 3)
     results["rollup_pipeline"] = round(rollup_dt, 3)
+    if pipe_warm:
+        warm_min["rollup_pipeline"] = round(min(pipe_warm), 3)
     total += ingest_dt + rollup_dt
     print(
-        f"# ingest {ingest_dt:.3f}s + rollup_pipeline {rollup_dt:.3f}s "
-        f"points={points} (of {n_rows} synth rows) ratio={ratio:.3f}",
+        f"# ingest {ingest_dt:.3f}s + rollup_pipeline {rollup_dt:.3f}s"
+        + (f" warm_min {min(pipe_warm):.3f}s" if pipe_warm else "")
+        + f" points={points} (of {n_rows} synth rows) ratio={ratio:.3f}",
         file=sys.stderr,
     )
 
@@ -158,23 +211,38 @@ def main() -> None:
         spark, n_urls=ext_urls, n_slots=ext_slots, gap_pct=0,
         partitions=max(CPUS * 2, 32),
     ).select("url", "html")
-    html_df.count()  # materialize synth inputs outside the timed window
-    t2 = time.perf_counter()
-    ext_bytes = (
-        with_extracted_text(html_df)
-        .select(F.sum(F.length("extracted_text")).alias("b"))
-        .collect()[0]["b"]
-    )
-    extract_dt = time.perf_counter() - t2
+    html_df.cache().count()  # materialize synth outside the timed window
+    ext_times: list[float] = []
+    ext_bytes = 0
+    for _ in range(1 + iters):
+        t2 = time.perf_counter()
+        ext_bytes = (
+            with_extracted_text(html_df)
+            .select(F.sum(F.length("extracted_text")).alias("b"))
+            .collect()[0]["b"]
+        )
+        ext_times.append(time.perf_counter() - t2)
+    html_df.unpersist()
+    extract_dt = ext_times[0]
     n_docs = ext_urls * ext_slots
     results["html_extract"] = round(extract_dt, 3)
+    if len(ext_times) > 1:
+        warm_min["html_extract"] = round(min(ext_times[1:]), 3)
     total += extract_dt
+    extract_best = min(ext_times)
     print(
-        f"# html_extract {extract_dt:.3f}s docs={n_docs} "
-        f"({n_docs / extract_dt:,.0f} docs/s, {ext_bytes} text bytes)",
+        f"# html_extract {extract_dt:.3f}s"
+        + (f" warm_min {min(ext_times[1:]):.3f}s" if len(ext_times) > 1 else "")
+        + f" docs={n_docs} ({n_docs / extract_best:,.0f} docs/s warm, "
+        f"{ext_bytes} text bytes)",
         file=sys.stderr,
     )
 
+    calib_end = _calibrate()
+    calib = min(calib_start, calib_end)
+    contention = calib / CALIB_REF_SEC
+    total_warm = sum(warm_min.values())
+    pipe_best = min(pipe_warm) if pipe_warm else rollup_dt
     out = {
         "metric": "headline suite wall time (3-tier rollup+codec, gapfill, "
         "get_data-parity windows, dedup/ANN/text) at sf",
@@ -182,12 +250,22 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "queries_warm_min": warm_min,
+        "total_warm_min": round(total_warm, 3),
+        # fixed-work CPU probe: round-over-round drift here is sandbox
+        # contention, not code; divide suite numbers by the factor to
+        # compare rounds like-for-like
+        "calib_sec": round(calib, 4),
+        "calib_ref_sec": CALIB_REF_SEC,
+        "contention_factor": round(contention, 3),
+        "total_warm_min_normalized": round(total_warm / contention, 3),
         "bench_iters": iters,
         "sf": SF_DIR,
         "cpus": CPUS,
         "rollup_rows_per_sec": round(points / rollup_dt, 1),
+        "rollup_rows_per_sec_warm": round(points / pipe_best, 1),
         "compression_ratio": round(ratio, 4),
         "extract_docs_per_sec": round(n_docs / extract_dt, 1),
+        "extract_docs_per_sec_warm": round(n_docs / extract_best, 1),
     }
     print(json.dumps(out))
     spark.stop()

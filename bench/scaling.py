@@ -70,6 +70,42 @@ spark.stop()
 """
 
 
+CONTROL_SCRIPT = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+master = sys.argv[1]
+from isp_trace_parser_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(master=master, shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.range({rows}, numPartitions=256).select(
+    F.col("id").cast("string").alias("s"))
+expr = F.col("s")
+for _ in range(8):
+    expr = F.sha2(expr, 256)
+t = time.perf_counter()
+df.select(expr.alias("h")).write.format("noop").mode("overwrite").save()
+print(f"CONTROL {{master}} sec={{time.perf_counter()-t:.2f}}")
+spark.stop()
+"""
+
+CONTROL_ROWS = int(os.environ.get("SPARK_GRAFT_CONTROL_ROWS", "40000000"))
+
+
+def run_control_level(cores: int) -> float:
+    """Pure-CPU hardware ceiling at this parallelism level: 8x iterated
+    SHA-256 over CONTROL_ROWS rows, no shuffle, no IO, noop sink. On an
+    oversubscribed VM this is the MOST any workload can scale; engine
+    efficiency is meaningful only relative to it."""
+    script = CONTROL_SCRIPT.format(repo=REPO, rows=CONTROL_ROWS)
+    out = subprocess.run(
+        [sys.executable, "-c", script, f"local[{cores}]"],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("CONTROL")][-1]
+    return float(line.rsplit("sec=", 1)[1])
+
+
 def run_pipeline_level(cores: int) -> dict:
     wh = tempfile.mkdtemp(prefix=f"scale{cores}_")
     env = dict(os.environ)
@@ -139,6 +175,15 @@ def main() -> None:
 
         shutil.rmtree(shm, ignore_errors=True)
 
+    control = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_CONTROL", "1") != "0":
+        for rep in range(repeats):
+            for cores in LEVELS:
+                t = run_control_level(cores)
+                control[cores] = min(control.get(cores, t), t)
+                print(f"# control local[{cores}] rep{rep}: {t}s",
+                      file=sys.stderr)
+
     n, n4 = LEVELS
     k_speed = kernel[n] / kernel[n4]
     k_eff = k_speed / (n4 / n)
@@ -157,6 +202,20 @@ def main() -> None:
         "pipeline_scaling_efficiency": round(p_eff, 3),
         "target": 0.8,
     }
+    if control:
+        c_speed = control[n] / control[n4]
+        c_eff = c_speed / (n4 / n)
+        summary.update({
+            "control_rows": CONTROL_ROWS,
+            "control_sec": control,
+            "control_speedup": round(c_speed, 3),
+            # the hardware's own ceiling for this N->4N pair: even pure
+            # shuffle-free CPU work cannot beat this on shared vCPUs
+            "ceiling_efficiency": round(c_eff, 3),
+            # the engine relative to what the box can deliver — the
+            # number that transfers to a real N vs 4N executor cluster
+            "kernel_eff_vs_ceiling": round(k_eff / c_eff, 3),
+        })
     print(json.dumps(summary))
 
     import datetime
@@ -172,6 +231,14 @@ def main() -> None:
             f"- pipeline ({rows:,} rows): "
             + ", ".join(f"local[{c}] {pipeline[c]['total_sec']}s" for c in LEVELS)
             + f" -> speedup {p_speed:.2f}x, efficiency {p_eff:.3f}\n"
+            + (
+                f"- control (pure CPU, {CONTROL_ROWS:,} rows sha256x8): "
+                + ", ".join(f"local[{c}] {control[c]}s" for c in LEVELS)
+                + f" -> ceiling efficiency {summary['ceiling_efficiency']}, "
+                f"kernel eff({n}->{n4}) vs ceiling "
+                f"{summary['kernel_eff_vs_ceiling']}\n"
+                if control else ""
+            )
         )
 
 
