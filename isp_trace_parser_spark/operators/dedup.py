@@ -421,10 +421,12 @@ def dedup_clusters(
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
+    rounds = 0
     # +1: detecting the fixpoint costs one confirmation round beyond the
     # diameter, so a graph with diameter == max_iter converges cleanly
     # instead of raising with already-correct labels
     for _ in range(max_iter + 1):
+        rounds += 1
         neighbor_min = (
             und.join(labels, und["b"] == labels["node"])
             .groupBy("a")
@@ -443,6 +445,9 @@ def dedup_clusters(
             converged = True
             break
         prev_sum = cur_sum
+    # diagnostic: propagation rounds the last call used (incl. the
+    # confirmation round) — lets tests pin the round-count bound
+    dedup_clusters.last_rounds = rounds
     if not converged:
         # a component with diameter > max_iter would silently split into
         # several "canonical" ids and keep duplicates — fail loud instead

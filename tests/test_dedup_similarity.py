@@ -297,3 +297,43 @@ def test_near_dup_self_join_sheds_vectors(spark):
     assert bucket_exchanges, plan
     for blk in bucket_exchanges:
         assert "embedding" not in blk, blk
+
+
+def test_cc_path_graph_near_max_iter(spark):
+    """A path graph's diameter equals its edge count — the worst case
+    for min-label propagation. With max_iter == diameter the labels
+    converge (diameter rounds + 1 confirmation); with max_iter below
+    the diameter the operator must FAIL LOUD rather than silently
+    split the component into several 'canonical' ids."""
+    d = 20  # diameter: path 0-1-...-20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(d)], "d1 long, d2 long"
+    )
+    got = dedup.dedup_clusters(pairs, max_iter=d).toPandas()
+    assert (got["cluster_id"] == 0).all() and len(got) == d + 1
+    assert dedup.dedup_clusters.last_rounds == d + 1
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(pairs, max_iter=d // 2)
+
+
+def test_cc_clique_union_100k_edges(spark):
+    """Union of 2000 disjoint 51-node stars (~10^5 edges, ~10^5
+    nodes) — the realistic near-dup shape (unions of small cliques).
+    Must converge in a constant number of rounds (star diameter 2 =>
+    <= 3 propagation rounds incl. confirmation) with every member
+    labeled by its component's min id; round count pins the
+    at-scale cost model: total work = rounds x one co-partitioned
+    join."""
+    import pandas as pd
+
+    comp = np.repeat(np.arange(2000, dtype=np.int64), 50)
+    centers = comp * 1000
+    leaves = centers + np.tile(np.arange(1, 51, dtype=np.int64), 2000)
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"d1": centers, "d2": leaves})
+    )
+    got = dedup.dedup_clusters(pairs).toPandas()
+    assert len(got) == 2000 * 51
+    assert dedup.dedup_clusters.last_rounds <= 3
+    assert (got["cluster_id"].to_numpy()
+            == (got["doc_id"].to_numpy() // 1000) * 1000).all()
