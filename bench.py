@@ -25,14 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Fixed-work CPU reference: min-of-4 of _calibrate() measured on this
-# sandbox while otherwise idle (2026-08-17, round 4). contention_factor
+# Fixed-work CPU reference: min-of-6 of the calibration loop measured
+# on this sandbox while otherwise idle (2026-08-17, round 4, 0.5842s
+# floor over repeated idle runs). contention_factor
 # = calib_sec / CALIB_REF_SEC; >1 means the sandbox was slower than the
 # reference moment (co-tenant load), and *_normalized fields divide it
 # out so round-over-round comparisons measure the CODE, not the tenant
 # schedule (VERDICT r3: three rounds of driver-bench drift needed a
 # contention-calibrated baseline).
-CALIB_REF_SEC = 0.63
+CALIB_REF_SEC = 0.584
 
 
 def _calibrate(reps: int = 3) -> float:

@@ -145,8 +145,11 @@ def main() -> None:
     # interleaved repeats + min-of-runs per level: this sandbox is a
     # shared VM where identical runs vary up to ~3x (see BENCH.md §2);
     # the min approximates the uncontended time at each level
+    # SPARK_GRAFT_SCALE_PIPELINE=0 skips the full-pipeline pair (e.g.
+    # when only the kernel changed since the last recorded pipeline run)
     pipeline = {}
-    for rep in range(repeats):
+    run_pipe = os.environ.get("SPARK_GRAFT_SCALE_PIPELINE", "1") != "0"
+    for rep in range(repeats if run_pipe else 0):
         for cores in LEVELS:
             r = run_pipeline_level(cores)
             cur = {
@@ -187,8 +190,6 @@ def main() -> None:
     n, n4 = LEVELS
     k_speed = kernel[n] / kernel[n4]
     k_eff = k_speed / (n4 / n)
-    p_speed = pipeline[n]["total_sec"] / pipeline[n4]["total_sec"]
-    p_eff = p_speed / (n4 / n)
     summary = {
         "levels": LEVELS,
         "kernel_rows": krows,
@@ -196,12 +197,17 @@ def main() -> None:
         "kernel_rows_per_sec": {c: round(krows / s) for c, s in kernel.items()},
         "kernel_speedup": round(k_speed, 3),
         "kernel_scaling_efficiency": round(k_eff, 3),
-        "pipeline_rows": rows,
-        "pipeline": pipeline,
-        "pipeline_speedup": round(p_speed, 3),
-        "pipeline_scaling_efficiency": round(p_eff, 3),
         "target": 0.8,
     }
+    if pipeline:
+        p_speed = pipeline[n]["total_sec"] / pipeline[n4]["total_sec"]
+        p_eff = p_speed / (n4 / n)
+        summary.update({
+            "pipeline_rows": rows,
+            "pipeline": pipeline,
+            "pipeline_speedup": round(p_speed, 3),
+            "pipeline_scaling_efficiency": round(p_eff, 3),
+        })
     if control:
         c_speed = control[n] / control[n4]
         c_eff = c_speed / (n4 / n)
@@ -228,9 +234,15 @@ def main() -> None:
             f"- kernel ({krows:,} rows): "
             + ", ".join(f"local[{c}] {kernel[c]}s ({round(krows / kernel[c]):,} rows/s)" for c in LEVELS)
             + f" -> speedup {k_speed:.2f}x, efficiency {k_eff:.3f}\n"
-            f"- pipeline ({rows:,} rows): "
-            + ", ".join(f"local[{c}] {pipeline[c]['total_sec']}s" for c in LEVELS)
-            + f" -> speedup {p_speed:.2f}x, efficiency {p_eff:.3f}\n"
+            + (
+                f"- pipeline ({rows:,} rows): "
+                + ", ".join(
+                    f"local[{c}] {pipeline[c]['total_sec']}s" for c in LEVELS
+                )
+                + f" -> speedup {summary['pipeline_speedup']}x, "
+                f"efficiency {summary['pipeline_scaling_efficiency']}\n"
+                if pipeline else ""
+            )
             + (
                 f"- control (pure CPU, {CONTROL_ROWS:,} rows sha256x8): "
                 + ", ".join(f"local[{c}] {control[c]}s" for c in LEVELS)

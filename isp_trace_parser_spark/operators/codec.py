@@ -287,9 +287,17 @@ def encode_blocks(
         F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
-    arranged = keyed.repartition("series", "block_start").sortWithinPartitions(
-        "series", "block_start", "ts"
-    )
+    # explicit partition count: column-only repartition lets AQE
+    # coalesce by shuffle BYTES, and (series, block) co-location
+    # compresses shuffle blocks so well that AQE collapses the encode
+    # stage to a handful of tasks (observed 64 -> 13 at 69M rows),
+    # starving the Python workers. The encode stage is CPU-bound per
+    # ROW, not per byte — pin the fan-out at the session's shuffle
+    # parallelism.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    arranged = keyed.repartition(
+        n_parts, "series", "block_start"
+    ).sortWithinPartitions("series", "block_start", "ts")
 
     def _gen(batches):
         carry = None
