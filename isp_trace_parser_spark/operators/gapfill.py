@@ -85,11 +85,12 @@ def interpolate_gaps(
     to compose with forward-fill for the tail.
 
     Same spine + co-partitioned left join as :func:`gap_fill`; the
-    prev/next observation scan is two frames (unbounded-preceding /
-    unbounded-following) over ONE series-keyed sort — a single shuffle,
-    zero when the tier table is series-bucketed. Exact integer
-    microsecond math for the time ratio; the arithmetic shape is kept
-    identical to the DuckDB oracle so doubles match bit-for-bit.
+    prev/next observation scans are two O(n) RUNNING frames (ascending
+    for prev, descending for next) sharing ONE series-keyed exchange —
+    a single shuffle (zero when the tier table is series-bucketed) and
+    one extra in-partition sort. Exact integer microsecond math for the
+    time ratio; the arithmetic shape is kept identical to the DuckDB
+    oracle so doubles match bit-for-bit.
     """
     spans = df.groupBy(series_col).agg(
         F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
@@ -113,18 +114,24 @@ def interpolate_gaps(
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the NEXT observation comes from a DESCENDING running frame, not a
+    # (currentRow, unboundedFollowing) frame: Spark's unbounded-following
+    # frame processor rescans the remaining partition per row (O(n^2) in
+    # partition length — measured 5x slower on 1400-slot series), while
+    # the reversed-sort running frame is O(n) and reuses the same
+    # exchange (one extra in-partition sort only)
     wn = (
         Window.partitionBy(series_col)
-        .orderBy(ts_col)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     v = F.col(value_col)
     t_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     obs_t = F.when(v.isNotNull(), t_us)
     pv = F.last(v, ignorenulls=True).over(wp)
     pt = F.last(obs_t, ignorenulls=True).over(wp)
-    nv = F.first(v, ignorenulls=True).over(wn)
-    nt = F.first(obs_t, ignorenulls=True).over(wn)
+    nv = F.last(v, ignorenulls=True).over(wn)
+    nt = F.last(obs_t, ignorenulls=True).over(wn)
     interp = pv + (nv - pv) * (
         (t_us - pt).cast("double") / (nt - pt).cast("double")
     )

@@ -61,7 +61,9 @@ for name in ["rollup_30m", "rollup_1mo", "window_fy", "gapfill_30m",
              # + timestamp_seconds, unix_micros bucket/weight math in
              # the irregular-series ops, sequence-spine interpolation
              "tiered_retention", "streaming_dedup", "time_weighted_avg",
-             "m4_downsample", "counter_rate", "gapfill_interpolate"]:
+             "m4_downsample", "counter_rate", "gapfill_interpolate",
+             # round-4: full-vocabulary demand cross (make_timestamp)
+             "parse_demand_cross"]:
     got = queries[name](spark, "/root/testdata/sf0.01").toPandas()
     want = con.execute(oracles[name]).df()
     assert len(got) == len(want), (name, len(got), len(want))
