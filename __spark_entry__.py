@@ -1207,6 +1207,44 @@ def q_parse_demand_csv(spark, sf_dir):
     )
 
 
+def q_gap_report(spark, sf_dir):
+    """Per-series missing-stretch inventory over the 30m grid (the
+    operational complement of gap-fill: where to backfill, retention
+    auditing). One lag window + filter — cost O(present rows), not
+    O(grid); no spine, no join. Oracle mirrors the lag arithmetic."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.timeseries import gap_report
+
+    ev = _t(spark, sf_dir, "events")
+    t30 = ev.groupBy(
+        F.col("user_id").alias("series"),
+        bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return gap_report(t30, "series", "bucket_ts", SEC_30M)
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness-aware fetch plan over the documents frontier: sticky
+    domain->worker assignment (portable md5 hash) + per-domain fetch
+    spacing from one row_number window on the domain key. The plan the
+    fetch tier executes at crawl scale; deterministic, so the oracle
+    recomputes it exactly."""
+    _prep(spark)
+    import datetime
+
+    from isp_trace_parser_spark.functions.web import crawl_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    return crawl_schedule(
+        docs,
+        "source",
+        "doc_id",
+        start=datetime.datetime(2024, 2, 1),
+        delay_seconds=5,
+        n_workers=16,
+    )
+
+
 def q_parse_demand_cross(spark, sf_dir):
     """J2 over the FULL demand vocabulary: all 198 combinations of
     (11 subregions x 3 scenarios x 2 POE levels x 3 demand types) from
@@ -2300,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "parse_demand_csv": q_parse_demand_csv,
         "parse_demand_cross": q_parse_demand_cross,
+        "gap_report": q_gap_report,
+        "crawl_schedule": q_crawl_schedule,
         "api_projection_policy": q_api_projection_policy,
         "json_props_rollup": q_json_props_rollup,
         "source_quality_report": q_source_quality_report,
@@ -2712,6 +2752,35 @@ def oracle_sql() -> dict[str, str]:
             FROM j""",
         "parse_demand_csv": _demand_parse_sql(_DEMAND_FIXTURE_DIR),
         "parse_demand_cross": _demand_parse_sql(_demand_cross_dir()),
+        "gap_report": f"""
+            WITH t30 AS (
+              SELECT user_id AS series, {_bucket_sql('ts', SEC_30M)} AS bucket_ts
+              FROM events GROUP BY 1, 2
+            ),
+            lagged AS (
+              SELECT series, epoch_us(bucket_ts) AS t_us,
+                     lag(epoch_us(bucket_ts)) OVER (
+                       PARTITION BY series ORDER BY bucket_ts) AS prev_us
+              FROM t30
+            )
+            SELECT series,
+                   make_timestamp(prev_us + {SEC_30M * 1_000_000}) AS gap_start,
+                   make_timestamp(t_us - {SEC_30M * 1_000_000}) AS gap_end,
+                   (t_us - prev_us) // {SEC_30M * 1_000_000} - 1 AS n_missing
+            FROM lagged
+            WHERE (t_us - prev_us) // {SEC_30M * 1_000_000} - 1 > 0""",
+        "crawl_schedule": """
+            SELECT doc_id, source AS domain,
+                   CAST(('0x' || substr(md5(source), 1, 15))::BIGINT % 16
+                        AS INTEGER) AS worker,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) - 1 AS INTEGER)
+                     AS fetch_seq,
+                   TIMESTAMP '2024-02-01 00:00:00'
+                     + to_microseconds((row_number() OVER (
+                         PARTITION BY source ORDER BY doc_id) - 1)
+                         * 5000000) AS fetch_ts
+            FROM documents""",
         "api_projection_policy": """
             SELECT ts, round(value, 4) AS value, event_type FROM events
             WHERE ts > TIMESTAMP '2023-07-01 00:00:00'

@@ -22,7 +22,9 @@ targets; ``domain_stats`` is the measurement side of that loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import datetime
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # RFC-3986-shaped split (public knowledge): scheme://authority/path?query#frag
@@ -98,4 +100,55 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
             "url_depth": path_depth(u),
             "url_normalized": normalize_url(u),
         }
+    )
+
+
+def crawl_schedule(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    start: "datetime.datetime",
+    delay_seconds: int = 5,
+    n_workers: int = 16,
+) -> DataFrame:
+    """Politeness-aware fetch plan: when and where each URL gets
+    crawled, honoring a per-domain minimum delay.
+
+    Every crawl pipeline needs this step between frontier and fetcher:
+    (a) all of a domain's fetches go to ONE worker (sticky assignment —
+    per-domain rate limiting needs a single enforcement point, and
+    connection reuse wants locality), (b) fetches within a domain are
+    spaced ``delay_seconds`` apart starting at ``start``.
+
+    Plan shape: one row_number window partitioned by domain (single
+    exchange on the domain key — the same key the assignment hashes,
+    so a domain's plan is computed where it will run) and pure column
+    arithmetic. The worker id uses an md5-derived hash (first 15 hex
+    digits), not xxhash64, so the assignment is engine-portable and
+    oracle-checkable. Deterministic: same frontier -> same plan.
+    """
+    dom = F.col(domain_col)
+    w = Window.partitionBy(domain_col).orderBy(id_col)
+    seq = F.row_number().over(w) - F.lit(1)
+    worker = F.pmod(
+        F.conv(F.substring(F.md5(dom.cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_workers),
+    )
+    # naive-datetime-as-UTC micros (NOT .timestamp(), which reads the
+    # driver's local tz — the engine-wide NTZ convention)
+    start_us = (
+        start - datetime.datetime(1970, 1, 1)
+    ) // datetime.timedelta(microseconds=1)
+    fetch_us = (
+        F.lit(start_us)
+        + seq.cast("long") * F.lit(delay_seconds * 1_000_000)
+    )
+    return df.select(
+        F.col(id_col),
+        dom.alias("domain"),
+        worker.cast("int").alias("worker"),
+        seq.alias("fetch_seq"),
+        F.timestamp_micros(fetch_us).cast("timestamp_ntz").alias("fetch_ts"),
     )

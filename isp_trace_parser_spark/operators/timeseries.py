@@ -196,3 +196,47 @@ def counter_rate(
         .groupBy("series", "bucket_ts")
         .agg(F.sum("_d").alias("increase"), F.count(F.lit(1)).alias("n_samples"))
     )
+
+
+def gap_report(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    interval_seconds: int = 1800,
+) -> DataFrame:
+    """Per-series inventory of missing stretches in a regular grid:
+    one row per maximal run of absent buckets — (series, gap_start,
+    gap_end, n_missing), where gap_start/gap_end are the first/last
+    MISSING bucket timestamps (inclusive).
+
+    The operational complement of gap-fill: retention auditing, crawl
+    health dashboards, and deciding WHERE to backfill before running
+    the fill. One lag window over the series sort (a single exchange;
+    zero on bucketed tier tables) and a filter — no spine, no join:
+    the cost is O(present rows), not O(grid), which is the difference
+    at 100 TB where grids are sparse. Exact integer microsecond math;
+    timestamps are assumed unique per (series, ts) — grid data after a
+    rollup, where the bucket IS the key.
+    """
+    step = F.lit(interval_seconds * 1_000_000).cast("long")
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).alias("_ts"),
+    )
+    w = Window.partitionBy("series").orderBy("_ts")
+    t_us = F.unix_micros(F.col("_ts").cast("timestamp_ltz"))
+    prev_us = F.lag(t_us).over(w)
+    missing = ((t_us - prev_us) / step).cast("long") - F.lit(1)
+    return (
+        base.select(
+            "series",
+            F.timestamp_micros(prev_us + step).cast("timestamp_ntz").alias(
+                "gap_start"
+            ),
+            F.timestamp_micros(t_us - step).cast("timestamp_ntz").alias(
+                "gap_end"
+            ),
+            missing.alias("n_missing"),
+        )
+        .where(F.col("n_missing") > 0)
+    )

@@ -62,8 +62,9 @@ for name in ["rollup_30m", "rollup_1mo", "window_fy", "gapfill_30m",
              # the irregular-series ops, sequence-spine interpolation
              "tiered_retention", "streaming_dedup", "time_weighted_avg",
              "m4_downsample", "counter_rate", "gapfill_interpolate",
-             # round-4: full-vocabulary demand cross (make_timestamp)
-             "parse_demand_cross"]:
+             # round-4: full-vocabulary demand cross (make_timestamp),
+             # gap inventory + crawl plan (timestamp_micros ntz casts)
+             "parse_demand_cross", "gap_report", "crawl_schedule"]:
     got = queries[name](spark, "/root/testdata/sf0.01").toPandas()
     want = con.execute(oracles[name]).df()
     assert len(got) == len(want), (name, len(got), len(want))

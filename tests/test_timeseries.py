@@ -180,3 +180,32 @@ def test_exchange_free_over_bucketed_tier(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 0, plan
         assert df.count() > 0
+
+
+def test_gap_report_hand_computed(spark):
+    """Grid 0,1800,3600s with holes: series 'a' present at slots
+    {0,3,4,7}, so two gaps: slots 1-2 (2 missing) and 5-6 (2 missing);
+    series 'b' contiguous -> no rows."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda slot: base + datetime.timedelta(seconds=1800 * slot)
+    rows = [("a", mk(s)) for s in (0, 3, 4, 7)] + [
+        ("b", mk(s)) for s in (2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "series string, bucket_ts timestamp_ntz")
+    got = (
+        timeseries.gap_report(df, "series", "bucket_ts", 1800)
+        .orderBy("series", "gap_start")
+        .collect()
+    )
+    assert [(r["series"], r["gap_start"], r["gap_end"], r["n_missing"])
+            for r in got] == [
+        ("a", mk(1), mk(2), 2),
+        ("a", mk(5), mk(6), 2),
+    ]
+    plan = (
+        timeseries.gap_report(df, "series", "bucket_ts", 1800)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1 and "Join" not in plan, plan

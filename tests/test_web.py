@@ -94,3 +94,34 @@ def test_no_python_udf_in_plan(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_crawl_schedule_politeness_and_stickiness(spark):
+    """Same-domain fetches go to ONE worker, are spaced exactly
+    delay_seconds apart in doc_id order, and the plan is deterministic
+    across repartitionings."""
+    import datetime
+
+    from isp_trace_parser_spark.functions.web import crawl_schedule
+
+    rows = [(i, ["news.com", "blog.org"][i % 2]) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    start = datetime.datetime(2024, 2, 1)
+    got = (
+        crawl_schedule(df, "source", "doc_id", start, delay_seconds=5,
+                       n_workers=4)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for dom in ("news.com", "blog.org"):
+        d = got[got["domain"] == dom].sort_values("fetch_seq")
+        assert d["worker"].nunique() == 1  # sticky
+        assert list(d["fetch_seq"]) == list(range(5))
+        deltas = d["fetch_ts"].diff().dropna().dt.total_seconds()
+        assert (deltas == 5.0).all()
+        assert d["fetch_ts"].iloc[0] == start
+    got2 = (
+        crawl_schedule(df.repartition(7), "source", "doc_id", start,
+                       delay_seconds=5, n_workers=4)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.equals(got2)  # layout-invariant plan
