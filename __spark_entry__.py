@@ -1245,6 +1245,35 @@ def q_crawl_schedule(spark, sf_dir):
     )
 
 
+def q_ewma(spark, sf_dir):
+    """EWMA smoothing of the 30m tier — the inherently-sequential
+    per-series recurrence no window frame expresses, run through the
+    engine's documented escape hatch (mapInPandas over series-sorted
+    partitions with cross-batch state carry; operators/timeseries.ewma).
+    The float recurrence shape (0.1*x + 0.9*s) is literal-identical to
+    the oracle's recursive CTE, and the tier values feeding it are
+    bit-identical (exact decimal partials), so smoothed doubles match
+    bit-for-bit."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    t30 = ev.groupBy(
+        F.col("user_id").alias("series"),
+        bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+            / F.count("value")
+        ).alias("value")
+    )
+    out = ewma(t30, "series", "bucket_ts", "value", "bucket_ts", alpha=0.1)
+    return out.select(
+        "series", "bucket_ts", _q("value", 4).alias("value"),
+        _q("ewma", 4).alias("ewma"),
+    )
+
+
 def q_parse_demand_cross(spark, sf_dir):
     """J2 over the FULL demand vocabulary: all 198 combinations of
     (11 subregions x 3 scenarios x 2 POE levels x 3 demand types) from
@@ -2340,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_demand_cross": q_parse_demand_cross,
         "gap_report": q_gap_report,
         "crawl_schedule": q_crawl_schedule,
+        "ewma_smooth": q_ewma,
         "api_projection_policy": q_api_projection_policy,
         "json_props_rollup": q_json_props_rollup,
         "source_quality_report": q_source_quality_report,
@@ -2769,6 +2799,31 @@ def oracle_sql() -> dict[str, str]:
                    (t_us - prev_us) // {SEC_30M * 1_000_000} - 1 AS n_missing
             FROM lagged
             WHERE (t_us - prev_us) // {SEC_30M * 1_000_000} - 1 > 0""",
+        "ewma_smooth": f"""
+            WITH RECURSIVE t30 AS (
+              SELECT user_id AS series,
+                     {_bucket_sql('ts', SEC_30M)} AS bucket_ts,
+                     CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                       / count(value) AS value
+              FROM events GROUP BY 1, 2
+            ),
+            ordered AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY series ORDER BY bucket_ts) AS rn
+              FROM t30
+            ),
+            rec AS (
+              SELECT series, bucket_ts, value, rn, value AS ewma
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.series, o.bucket_ts, o.value, o.rn,
+                     0.1 * o.value + 0.9 * r.ewma
+              FROM ordered o JOIN rec r
+                ON o.series = r.series AND o.rn = r.rn + 1
+            )
+            SELECT series, bucket_ts, round(value, 4) AS value,
+                   round(ewma, 4) AS ewma
+            FROM rec""",
         "crawl_schedule": """
             SELECT doc_id, source AS domain,
                    CAST(('0x' || substr(md5(source), 1, 15))::BIGINT % 16

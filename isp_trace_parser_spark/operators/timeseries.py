@@ -240,3 +240,81 @@ def gap_report(
         )
         .where(F.col("n_missing") > 0)
     )
+
+
+def ewma(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Exponentially weighted moving average per series:
+    ``s_i = alpha * x_i + (1 - alpha) * s_{i-1}``, ``s_0 = x_0``
+    (pandas ``ewm(alpha, adjust=False)`` semantics).
+
+    The recurrence is inherently sequential per series — no Catalyst
+    window frame expresses it, and the closed-form prefix trick
+    ((1-a)^i factors) underflows for long series — so this is the
+    documented escape hatch: ``mapInPandas`` over series-repartitioned,
+    series-sorted partitions, the recurrence run per contiguous series
+    slice inside each Arrow batch with per-series state carried across
+    batch splits. One exchange (zero on series-bucketed tables);
+    parallelism is across series, which is the only axis a sequential
+    recurrence admits.
+
+    The float arithmetic shape (fma-free: ``alpha*x + (1-alpha)*s``) is
+    kept bit-identical to a recursive-CTE oracle.
+    """
+    import pandas as pd
+
+    a = float(alpha)
+    out_schema = (
+        f"{series_col} {dict(df.dtypes)[series_col]}, "
+        f"{ts_col} {dict(df.dtypes)[ts_col]}, "
+        f"{value_col} double, ewma double"
+    )
+    cols = list(dict.fromkeys([series_col, ts_col, tiebreak_col, value_col]))
+    base = df.select(*cols)
+
+    def _run(batches):
+        import numpy as np
+
+        state: dict = {}  # series -> last ewma (carries across batches)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            keys = pdf[series_col].to_numpy()
+            # per-series runs are contiguous (sorted partition); the
+            # recurrence shape a*x + (1-a)*s is kept LITERALLY identical
+            # to the oracle's recursive CTE so doubles match bit-for-bit
+            # (pandas' C ewm uses a different fp shape — not used)
+            bounds = np.flatnonzero(
+                np.concatenate(([True], keys[1:] != keys[:-1]))
+            )
+            out = np.empty_like(vals)
+            for start, end in zip(
+                bounds, np.append(bounds[1:], len(vals))
+            ):
+                k = keys[start]
+                s = state.get(k)
+                for i in range(start, end):
+                    x = vals[i]
+                    s = x if s is None else a * x + (1.0 - a) * s
+                    out[i] = s
+                state[k] = s
+            yield pd.DataFrame(
+                {
+                    series_col: pdf[series_col],
+                    ts_col: pdf[ts_col],
+                    value_col: vals,
+                    "ewma": out,
+                }
+            )
+
+    arranged = base.repartition(series_col).sortWithinPartitions(
+        series_col, ts_col, tiebreak_col
+    )
+    return arranged.mapInPandas(_run, out_schema)

@@ -64,7 +64,8 @@ for name in ["rollup_30m", "rollup_1mo", "window_fy", "gapfill_30m",
              "m4_downsample", "counter_rate", "gapfill_interpolate",
              # round-4: full-vocabulary demand cross (make_timestamp),
              # gap inventory + crawl plan (timestamp_micros ntz casts)
-             "parse_demand_cross", "gap_report", "crawl_schedule"]:
+             "parse_demand_cross", "gap_report", "crawl_schedule",
+             "ewma_smooth"]:
     got = queries[name](spark, "/root/testdata/sf0.01").toPandas()
     want = con.execute(oracles[name]).df()
     assert len(got) == len(want), (name, len(got), len(want))

@@ -209,3 +209,45 @@ def test_gap_report_hand_computed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1 and "Join" not in plan, plan
+
+
+def test_ewma_hand_computed_and_batch_carry(spark):
+    """s_0=x_0, s_i=0.25*x_i+0.75*s_{i-1}; verified against the closed
+    recurrence, WITH the Arrow batch size forced down to 3 rows so the
+    per-series state must carry across mapInPandas batch splits."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    xs = [4.0, 8.0, 8.0, 0.0, 2.0, 6.0, 1.0]
+    rows = [
+        ("a", base + datetime.timedelta(seconds=1800 * i), float(i), x)
+        for i, x in enumerate(xs)
+    ] + [
+        ("b", base + datetime.timedelta(seconds=1800 * i), float(100 + i),
+         x * 10)
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp_ntz, k double, value double"
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = (
+            timeseries.ewma(df.coalesce(1), "series", "ts", "value", "k",
+                            alpha=0.25)
+            .toPandas()
+            .sort_values(["series", "ts"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    for mult, ser in ((1.0, "a"), (10.0, "b")):
+        s = None
+        want = []
+        for x in xs:
+            x *= mult
+            s = x if s is None else 0.25 * x + 0.75 * s
+            want.append(s)
+        sub = got[got["series"] == ser]
+        assert list(sub["ewma"]) == want  # bit-exact recurrence
