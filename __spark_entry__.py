@@ -1274,6 +1274,26 @@ def q_ewma(spark, sf_dir):
     )
 
 
+def q_histogram_rollup(spark, sf_dir):
+    """Mergeable histogram cascade: build the 30m per-series histogram
+    tier, SUM it up to 1d (histogram_cascade), and the result must
+    equal a direct 1d histogram of raw events — the continuous-
+    aggregate invariant for distribution sketches (counts are exact and
+    order-independent, so tier merging loses nothing). The oracle IS
+    the direct build."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.rollup import (
+        histogram_cascade,
+        histogram_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url"), F.col("ts").alias("warc_ts"), "value"
+    )
+    t30 = histogram_tier(ev, bucket_seconds=SEC_30M, bin_width=0.5)
+    return histogram_cascade(t30, SEC_1D)
+
+
 def q_parse_demand_cross(spark, sf_dir):
     """J2 over the FULL demand vocabulary: all 198 combinations of
     (11 subregions x 3 scenarios x 2 POE levels x 3 demand types) from
@@ -2370,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_report": q_gap_report,
         "crawl_schedule": q_crawl_schedule,
         "ewma_smooth": q_ewma,
+        "histogram_rollup": q_histogram_rollup,
         "api_projection_policy": q_api_projection_policy,
         "json_props_rollup": q_json_props_rollup,
         "source_quality_report": q_source_quality_report,
@@ -2799,6 +2820,12 @@ def oracle_sql() -> dict[str, str]:
                    (t_us - prev_us) // {SEC_30M * 1_000_000} - 1 AS n_missing
             FROM lagged
             WHERE (t_us - prev_us) // {SEC_30M * 1_000_000} - 1 > 0""",
+        "histogram_rollup": f"""
+            SELECT user_id AS series,
+                   {_bucket_sql('ts', SEC_1D)} AS bucket_ts,
+                   CAST(floor(value / 0.5) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2, 3""",
         "ewma_smooth": f"""
             WITH RECURSIVE t30 AS (
               SELECT user_id AS series,

@@ -179,3 +179,51 @@ def mean_merge(traces: list[DataFrame], ts_col: str = "datetime", value_col: str
         .agg(F.avg(value_col).alias(value_col))
         .orderBy(ts_col)
     )
+
+
+def histogram_tier(
+    df: DataFrame,
+    series_col: str = "url",
+    ts_col: str = "warc_ts",
+    value_col: str = "value",
+    bucket_seconds: int = 1800,
+    bin_width: float = 0.5,
+) -> DataFrame:
+    """Mergeable histogram tier: per (series, end-labeled bucket, bin)
+    the observation count, with ``bin = floor(value / bin_width)``.
+
+    The distribution analog of the avg/min/max tiers: counts are an
+    exact, order-independent, MERGEABLE sketch — any coarser resolution
+    is a plain sum of finer-tier counts (:func:`histogram_cascade`),
+    so percentile/shape dashboards read tiers, never raw data. Pure
+    two-phase groupBy (map-side combined); no UDF, no window.
+    """
+    return (
+        df.groupBy(
+            F.col(series_col).alias("series"),
+            bucket_end(F.col(ts_col), bucket_seconds).alias("bucket_ts"),
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias(
+                "bin"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_cascade(
+    tier: DataFrame, coarser_seconds: int
+) -> DataFrame:
+    """Coarser histogram tier from a finer one: counts just add.
+    Exactly equal to building the coarser histogram from raw data
+    (the continuous-aggregate invariant, pinned by the
+    ``histogram_rollup`` contract row)."""
+    return (
+        tier.groupBy(
+            "series",
+            bucket_end(F.col("bucket_ts"), coarser_seconds).alias(
+                "bucket_ts"
+            ),
+            "bin",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -103,3 +103,35 @@ def test_mean_merge_matches_reference_a1(spark):
     )
     assert len(merged) == 48
     np.testing.assert_allclose(merged["value"], oracle["value"], rtol=1e-12)
+
+
+def test_histogram_cascade_equals_direct(spark):
+    """Continuous-aggregate invariant for the distribution sketch:
+    summing 30m histogram bins to 1d equals histogramming raw data at
+    1d directly, and the plan is a pure two-phase agg (partial +
+    final, no window/join)."""
+    from isp_trace_parser_spark import synth
+    from isp_trace_parser_spark.operators.rollup import (
+        histogram_cascade,
+        histogram_tier,
+    )
+
+    pages = synth.pages(spark, n_urls=5, n_slots=48 * 3, gap_pct=10)
+    t30 = histogram_tier(pages, bucket_seconds=1800, bin_width=0.5)
+    merged = (
+        histogram_cascade(t30, 86400)
+        .toPandas()
+        .sort_values(["series", "bucket_ts", "bin"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        histogram_tier(pages, bucket_seconds=86400, bin_width=0.5)
+        .toPandas()
+        .sort_values(["series", "bucket_ts", "bin"])
+        .reset_index(drop=True)
+    )
+    assert merged.equals(direct) and len(merged) > 0
+    plan = (
+        histogram_tier(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") == 2 and "Window" not in plan, plan
