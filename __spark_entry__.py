@@ -1294,6 +1294,28 @@ def q_histogram_rollup(spark, sf_dir):
     return histogram_cascade(t30, SEC_1D)
 
 
+def q_histogram_p95(spark, sf_dir):
+    """p95 per (series, day) served FROM the histogram tier (the
+    cascaded 1d bins) — never raw rows: smallest bin whose cumulative
+    count reaches ceil(0.95 * total), midpoint estimate. Exact integer
+    window math; single-exchange plan (window clustering reused by the
+    final groupBy). Oracle mirrors the cumulative rule on a direct 1d
+    histogram."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.rollup import (
+        histogram_cascade,
+        histogram_percentile,
+        histogram_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url"), F.col("ts").alias("warc_ts"), "value"
+    )
+    t30 = histogram_tier(ev, bucket_seconds=SEC_30M, bin_width=0.5)
+    t1d = histogram_cascade(t30, SEC_1D)
+    return histogram_percentile(t1d, 0.95, bin_width=0.5)
+
+
 def q_parse_demand_cross(spark, sf_dir):
     """J2 over the FULL demand vocabulary: all 198 combinations of
     (11 subregions x 3 scenarios x 2 POE levels x 3 demand types) from
@@ -2391,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "ewma_smooth": q_ewma,
         "histogram_rollup": q_histogram_rollup,
+        "histogram_p95": q_histogram_p95,
         "api_projection_policy": q_api_projection_policy,
         "json_props_rollup": q_json_props_rollup,
         "source_quality_report": q_source_quality_report,
@@ -2826,6 +2849,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(value / 0.5) AS BIGINT) AS bin,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1, 2, 3""",
+        "histogram_p95": f"""
+            WITH h AS (
+              SELECT user_id AS series,
+                     {_bucket_sql('ts', SEC_1D)} AS bucket_ts,
+                     CAST(floor(value / 0.5) AS BIGINT) AS bin,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2, 3
+            ),
+            c AS (
+              SELECT series, bucket_ts, bin,
+                     sum(cnt) OVER (PARTITION BY series, bucket_ts
+                                    ORDER BY bin) AS cum,
+                     sum(cnt) OVER (PARTITION BY series, bucket_ts)
+                       AS total
+              FROM h
+            )
+            SELECT series, bucket_ts, min(bin) AS bin,
+                   (CAST(min(bin) AS DOUBLE) + 0.5) * 0.5 AS estimate
+            FROM c
+            WHERE cum >= ceil(0.95 * total)
+            GROUP BY series, bucket_ts""",
         "ewma_smooth": f"""
             WITH RECURSIVE t30 AS (
               SELECT user_id AS series,

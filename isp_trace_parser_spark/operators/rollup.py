@@ -22,7 +22,7 @@ this to a 3-tier rollup engine. Design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TIER_SECONDS = {"30m": 1800, "1d": 86400}
@@ -226,4 +226,38 @@ def histogram_cascade(
             "bin",
         )
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_percentile(
+    tier: DataFrame, q: float, bin_width: float = 0.5
+) -> DataFrame:
+    """Percentile estimate per (series, bucket) straight from the
+    histogram tier — the serving-side consumer of
+    :func:`histogram_tier`: a dashboard's p95 reads tier bins, never
+    raw rows.
+
+    Deterministic rule (exact integer math, oracle-able): the answer
+    bin is the smallest bin whose cumulative count reaches
+    ``ceil(q * total)``; the estimate is that bin's midpoint. One
+    window over (series, bucket) ordered by bin (running cumsum +
+    whole-partition total share the sort) and a groupBy on the same
+    keys — EnsureRequirements reuses the window's clustering, so the
+    whole plan is a single exchange.
+    """
+    part = Window.partitionBy("series", "bucket_ts")
+    w = part.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("cnt").over(w)
+    total = F.sum("cnt").over(part)
+    hit = tier.select(
+        "series",
+        "bucket_ts",
+        "bin",
+        (cum >= F.ceil(F.lit(q) * total)).alias("_hit"),
+    ).where("_hit")
+    return hit.groupBy("series", "bucket_ts").agg(
+        F.min("bin").alias("bin"),
+        ((F.min("bin") + F.lit(0.5)) * F.lit(bin_width)).alias("estimate"),
     )

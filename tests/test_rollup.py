@@ -135,3 +135,34 @@ def test_histogram_cascade_equals_direct(spark):
         histogram_tier(pages)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("HashAggregate") == 2 and "Window" not in plan, plan
+
+
+def test_histogram_percentile_rule_and_plan(spark):
+    """p95 from bins: smallest bin reaching ceil(q*total), midpoint
+    estimate; whole plan is ONE exchange (window clustering reused by
+    the groupBy)."""
+    import pandas as pd
+
+    from isp_trace_parser_spark.operators.rollup import (
+        histogram_percentile,
+    )
+
+    import datetime
+    b = datetime.datetime(2024, 1, 2)
+    # series x: bins 0..9 with count 1 each -> total 10, ceil(.95*10)=10
+    # -> bin 9; series y: bin 3 x 19 + bin 7 x 1 -> ceil(19)=19 -> bin 3
+    rows = [("x", b, i, 1) for i in range(10)] + [
+        ("y", b, 3, 19), ("y", b, 7, 1)]
+    tier = spark.createDataFrame(
+        rows, "series string, bucket_ts timestamp_ntz, bin long, cnt long"
+    )
+    got = {
+        r["series"]: (r["bin"], r["estimate"])
+        for r in histogram_percentile(tier, 0.95, 0.5).collect()
+    }
+    assert got == {"x": (9, 4.75), "y": (3, 1.75)}
+    plan = (
+        histogram_percentile(tier, 0.95, 0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan

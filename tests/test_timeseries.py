@@ -251,3 +251,27 @@ def test_ewma_hand_computed_and_batch_carry(spark):
             want.append(s)
         sub = got[got["series"] == ser]
         assert list(sub["ewma"]) == want  # bit-exact recurrence
+
+
+def test_new_ops_plan_shapes(spark):
+    """ewma: one exchange, the only Python surface is the mapInPandas
+    node (no per-row PythonUDF); crawl_schedule: one exchange, no UDF
+    at all."""
+    import datetime
+
+    from isp_trace_parser_spark.functions.web import crawl_schedule
+
+    df = _df(spark, [("a", 60, 1.0), ("a", 120, 2.0), ("b", 60, 3.0)])
+    ew = timeseries.ewma(df, "series", "ts", "value", "uid")
+    plan = ew._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan, plan
+
+    docs = spark.createDataFrame(
+        [(1, "a.com"), (2, "b.com")], "doc_id long, source string"
+    )
+    cs = crawl_schedule(docs, "source", "doc_id",
+                        datetime.datetime(2024, 2, 1))
+    plan = cs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "PythonUDF" not in plan and "EvalPython" not in plan, plan
