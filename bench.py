@@ -74,6 +74,12 @@ HEADLINE = [
     "domain_stats",
     "time_weighted_avg",
     "repetition_filters",
+    # round-4 additions: gap inventory, distribution-tier serving,
+    # sequential-recurrence escape hatch, crawl planning
+    "gap_report",
+    "histogram_p95",
+    "ewma_smooth",
+    "crawl_schedule",
 ]
 
 
