@@ -1439,16 +1439,25 @@ def q_streaming_sessionize(spark, sf_dir):
         .parquet(src)
     )
     qname = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_sessionize(stream)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cksess_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # stateful micro-batches pay per-state-store overhead x shuffle
+    # partitions x batches; at this row's data size 8 stores suffice
+    # (the operator itself takes the session default — this is a
+    # harness-scale knob, restored after the query drains)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="cksess_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).where("user_id >= 0").select(
         "user_id", "session_start", "session_end", "n_events",
         _q(F.col("sum_value").cast("double"), 2).alias("sum_value"),
