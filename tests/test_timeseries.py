@@ -233,15 +233,20 @@ def test_ewma_hand_computed_and_batch_carry(spark):
     prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
     try:
-        got = (
-            timeseries.ewma(df.coalesce(1), "series", "ts", "value", "k",
-                            alpha=0.25)
-            .toPandas()
-            .sort_values(["series", "ts"])
-            .reset_index(drop=True)
-        )
+        results = {
+            exact: (
+                timeseries.ewma(df.coalesce(1), "series", "ts", "value",
+                                "k", alpha=0.25, exact_shape=exact)
+                .toPandas()
+                .sort_values(["series", "ts"])
+                .reset_index(drop=True)
+            )
+            for exact in (True, False)
+        }
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    import numpy as np
+
     for mult, ser in ((1.0, "a"), (10.0, "b")):
         s = None
         want = []
@@ -249,8 +254,14 @@ def test_ewma_hand_computed_and_batch_carry(spark):
             x *= mult
             s = x if s is None else 0.25 * x + 0.75 * s
             want.append(s)
-        sub = got[got["series"] == ser]
-        assert list(sub["ewma"]) == want  # bit-exact recurrence
+        # oracle-parity path: bit-exact recurrence
+        sub = results[True][results[True]["series"] == ser]
+        assert list(sub["ewma"]) == want
+        # production vectorized path (pandas C ewm): same recurrence,
+        # last-ulp fp-shape freedom; batch-carry seeding must hold
+        sub = results[False][results[False]["series"] == ser]
+        np.testing.assert_allclose(sub["ewma"].to_numpy(), want,
+                                   rtol=1e-12, atol=0)
 
 
 def test_new_ops_plan_shapes(spark):
@@ -275,3 +286,30 @@ def test_new_ops_plan_shapes(spark):
     plan = cs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "PythonUDF" not in plan and "EvalPython" not in plan, plan
+
+
+def test_ewma_closed_form_kernel_property():
+    """The production vectorized kernel (blocked-rescaled closed form)
+    matches the literal recurrence to a few ulps across alphas (incl.
+    ones that shrink the rescale block), segment lengths spanning
+    multiple blocks, and carried-state seeding."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for a in (0.01, 0.1, 0.5, 0.9, 0.99):
+        for n in (1, 3, 511, 512, 513, 5000):
+            for s0 in (None, 12.34):
+                vals = rng.rand(n) * 200 - 100
+                got = timeseries._ewma_closed_form(vals, a, s0=s0)
+                s = s0
+                want = np.empty(n)
+                for i, x in enumerate(vals):
+                    s = x if s is None else a * x + (1.0 - a) * s
+                    want[i] = s
+                np.testing.assert_allclose(
+                    got, want, rtol=1e-11, atol=1e-13,
+                    err_msg=f"alpha={a} n={n} s0={s0}")
+    # alpha == 1 degenerates to identity
+    vals = rng.rand(10)
+    np.testing.assert_array_equal(
+        timeseries._ewma_closed_form(vals, 1.0), vals)
