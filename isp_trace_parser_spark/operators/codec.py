@@ -294,7 +294,13 @@ def encode_blocks(
     # starving the Python workers. The encode stage is CPU-bound per
     # ROW, not per byte — pin the fan-out at the session's shuffle
     # parallelism.
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # AQE-managed platforms may hold a non-integer ("auto")
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
     arranged = keyed.repartition(
         n_parts, "series", "block_start"
     ).sortWithinPartitions("series", "block_start", "ts")

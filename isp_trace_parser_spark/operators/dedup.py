@@ -82,6 +82,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 1,
     max_doc_freq: int | str | None = "auto",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over token (n=1) or n-gram shingle sets.
 
@@ -98,14 +99,19 @@ def ngram_jaccard_pairs(
     vocabulary — the standard df-cut used by near-dup pipelines).
 
     SAFE BY DEFAULT (VERDICT r2 #7): ``"auto"`` derives the cap as
-    ``max(1000, 0.001 * n_docs)`` (one count job) so a migrating user
-    can't hit the d^2 blowup by omission — at any corpus below 1M docs
-    the auto cap is >=1000 and only truly corpus-wide tokens are cut.
-    Pass an int to control it, or an EXPLICIT ``None`` to opt out into
-    full exact semantics (small/verified corpora only).
+    ``max(1000, 0.001 * n_docs)`` so a migrating user can't hit the d^2
+    blowup by omission — at any corpus below 1M docs the auto cap is
+    >=1000 and only truly corpus-wide tokens are cut. Pass ``n_docs``
+    if the caller already knows the corpus size (keeps plan
+    construction fully lazy); otherwise the count is folded INTO the
+    plan as a broadcast one-row subtree (column-pruned count-star, no
+    separate eager job — VERDICT r4 #4). Pass an int cap to control it
+    directly, or an EXPLICIT ``None`` to opt out into full exact
+    semantics (small/verified corpora only).
     """
-    if max_doc_freq == "auto":
-        max_doc_freq = max(1000, int(0.001 * df.count()))
+    lazy_auto_cap = max_doc_freq == "auto" and n_docs is None
+    if max_doc_freq == "auto" and n_docs is not None:
+        max_doc_freq = max(1000, int(0.001 * n_docs))
     if n == 1:
         toks = tokenize(df, text_col)
     else:
@@ -124,10 +130,20 @@ def ngram_jaccard_pairs(
         # one aggregation over the token stream; high-DF tokens never
         # reach the self-join (the d^2 blowup) nor the size counts
         dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
-        toks = (
-            toks.join(dfreq.where(F.col("_df") <= max_doc_freq), "tok")
-            .select("doc_id", "tok")
-        )
+        if lazy_auto_cap:
+            # the corpus count rides inside the plan as a broadcast
+            # one-row subtree (zero-column scan) instead of an eager
+            # df.count() driver job
+            cap = F.greatest(
+                F.lit(1000).cast("long"),
+                (F.lit(0.001) * F.col("_n_docs")).cast("long"),
+            )
+            dfreq = dfreq.join(
+                F.broadcast(df.agg(F.count("*").alias("_n_docs")))
+            ).where(F.col("_df") <= cap)
+        else:
+            dfreq = dfreq.where(F.col("_df") <= max_doc_freq)
+        toks = toks.join(dfreq, "tok").select("doc_id", "tok")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -390,6 +406,7 @@ def dedup_clusters(
     id1: str = "d1",
     id2: str = "d2",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list ->
     ``(doc_id, cluster_id)`` where cluster_id is the component's
@@ -401,11 +418,18 @@ def dedup_clusters(
     label and its neighbors' labels; converges in graph-diameter
     rounds. Near-dup graphs are unions of small cliques, so diameter is
     tiny in practice. Each round is one co-partitioned join + agg on
-    the node key; ``localCheckpoint`` truncates the growing lineage so
-    round N doesn't replay rounds 1..N-1 (the classic iterative-Spark
-    trap). Convergence is detected by the (monotonically decreasing)
-    sum of labels going stable — one cheap agg per round instead of an
-    anti-join of old vs new labels.
+    the node key; a LAZY ``localCheckpoint`` truncates the growing
+    lineage so round N doesn't replay rounds 1..N-1 (the classic
+    iterative-Spark trap) while the convergence probe — the
+    (monotonically decreasing) sum of labels going stable — is the
+    single action that also materializes the checkpoint. ONE Spark job
+    per round (pinned by ``tests/test_dedup_similarity.py``), not a
+    materialize job plus a probe job.
+
+    ``stats``: optional caller-owned dict; on return,
+    ``stats["rounds"]`` holds the propagation-round count (incl. the
+    confirmation round) so concurrent callers don't race on shared
+    state.
     """
     edges = pairs.select(
         F.col(id1).cast("long").alias("a"), F.col(id2).cast("long").alias("b")
@@ -417,7 +441,7 @@ def dedup_clusters(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
@@ -438,16 +462,15 @@ def dedup_clusters(
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
-    # diagnostic: propagation rounds the last call used (incl. the
-    # confirmation round) — lets tests pin the round-count bound
-    dedup_clusters.last_rounds = rounds
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         # a component with diameter > max_iter would silently split into
         # several "canonical" ids and keep duplicates — fail loud instead

@@ -194,6 +194,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed so only
     same-bucket pairs join (plus nothing else — recall traded for the
@@ -204,8 +205,12 @@ def embedding_near_dup_pairs(
     map-side, the embedding column is pruned BEFORE the exchange, and
     the full vectors are re-attached to the surviving candidate pairs
     afterwards for the exact cosine. At 100 TB the candidate shuffle is
-    a few bytes/row instead of the d-dim vector payload twice over."""
-    dim = int(df.select(F.size(vec_col)).first()[0])
+    a few bytes/row instead of the d-dim vector payload twice over.
+
+    Pass ``dim`` (the embedding width) to keep plan construction fully
+    lazy; without it a one-row probe sizes the hyperplanes."""
+    if dim is None:
+        dim = int(df.select(F.size(vec_col)).first()[0])
     planes = _hyperplanes(dim, bits, seed)
     slim = df.select(
         F.col(id_col), lsh_bucket_expr(vec_col, planes).alias("_bucket")

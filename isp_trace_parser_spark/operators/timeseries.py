@@ -218,7 +218,7 @@ def gap_report(
     timestamps are assumed unique per (series, ts) — grid data after a
     rollup, where the bucket IS the key.
     """
-    step = F.lit(interval_seconds * 1_000_000).cast("long")
+    step_us = int(interval_seconds) * 1_000_000
     base = df.select(
         F.col(series_col).alias("series"),
         F.col(ts_col).alias("_ts"),
@@ -226,17 +226,22 @@ def gap_report(
     w = Window.partitionBy("series").orderBy("_ts")
     t_us = F.unix_micros(F.col("_ts").cast("timestamp_ltz"))
     prev_us = F.lag(t_us).over(w)
-    missing = ((t_us - prev_us) / step).cast("long") - F.lit(1)
+    # integer `div`, not double `/`: keeps the bucket-count exact for
+    # off-grid timestamps (consistent floor, deltas are positive) and
+    # past 2^53 us where double division loses bits
     return (
-        base.select(
+        base.select("series", t_us.alias("_cur"), prev_us.alias("_prev"))
+        .select(
             "series",
-            F.timestamp_micros(prev_us + step).cast("timestamp_ntz").alias(
-                "gap_start"
-            ),
-            F.timestamp_micros(t_us - step).cast("timestamp_ntz").alias(
-                "gap_end"
-            ),
-            missing.alias("n_missing"),
+            F.timestamp_micros(F.col("_prev") + step_us)
+            .cast("timestamp_ntz")
+            .alias("gap_start"),
+            F.timestamp_micros(F.col("_cur") - step_us)
+            .cast("timestamp_ntz")
+            .alias("gap_end"),
+            (
+                F.expr(f"(_cur - _prev) div {step_us}") - F.lit(1)
+            ).alias("n_missing"),
         )
         .where(F.col("n_missing") > 0)
     )

@@ -29,6 +29,7 @@ the skip check is disabled entirely rather than mis-keyed.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -40,13 +41,38 @@ from isp_trace_parser_spark.plans.partitioning import (
 from isp_trace_parser_spark.sources.catalog import Catalog
 
 
+def _norm_scope(checkpoint_dir: str) -> str:
+    """Canonicalize a checkpoint location so textually different
+    spellings of the same dir (trailing slash, relative vs absolute,
+    ``.`` components) key the same committed-epoch set across
+    restarts. URI-style locations (``scheme://...``) keep their scheme
+    and only lose redundant trailing slashes."""
+    if "://" in checkpoint_dir or checkpoint_dir.startswith("file:"):
+        return checkpoint_dir.rstrip("/")
+    return os.path.abspath(os.path.normpath(checkpoint_dir))
+
+
 def _committed_epochs(cat: Catalog, table: str, scope: str) -> set[int]:
-    return {
-        s["lineage"]["epoch_id"]
+    epoch_rows = [
+        s["lineage"]
         for s in cat.snapshots(table)
         if "epoch_id" in s.get("lineage", {})
-        and s["lineage"].get("epoch_scope") == scope
-    }
+    ]
+    any_scoped = any("epoch_scope" in ln for ln in epoch_rows)
+    committed = set()
+    for ln in epoch_rows:
+        if "epoch_scope" in ln:
+            if _norm_scope(ln["epoch_scope"]) == scope:
+                committed.add(ln["epoch_id"])
+        elif not any_scoped:
+            # pre-upgrade table: every epoch commit predates scoping,
+            # so they all belong to the single legacy checkpoint and a
+            # resume must still skip them. The moment one scoped commit
+            # exists, unscoped rows are ignored (a NEW checkpoint's
+            # epoch 0 must not be suppressed by a legacy row — skipping
+            # fresh data is silent loss; a replayed duplicate is not).
+            committed.add(ln["epoch_id"])
+    return committed
 
 
 def streaming_ingest(
@@ -61,9 +87,11 @@ def streaming_ingest(
     """Start a streaming query landing ``stream`` into ``cat.table``.
     Returns the StreamingQuery; callers await/stop it."""
 
+    scope = None if checkpoint_dir is None else _norm_scope(checkpoint_dir)
+
     def _land(batch_df: DataFrame, epoch_id: int) -> None:
-        if checkpoint_dir is not None and epoch_id in _committed_epochs(
-            cat, table, checkpoint_dir
+        if scope is not None and epoch_id in _committed_epochs(
+            cat, table, scope
         ):
             return  # replayed epoch after restart — already committed
         keyed = with_partition_keys(batch_df, n_buckets=n_buckets)
@@ -71,8 +99,8 @@ def streaming_ingest(
             "stage": "streaming_ingest",
             "epoch_id": epoch_id,
         }
-        if checkpoint_dir is not None:
-            lineage["epoch_scope"] = checkpoint_dir
+        if scope is not None:
+            lineage["epoch_scope"] = scope
         cat.write(
             keyed,
             table,

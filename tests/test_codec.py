@@ -117,3 +117,42 @@ def test_encode_shuffle_keys_on_series_and_block(spark):
     assert re.search(
         r"hashpartitioning\(series#\d+, block_start#\d+", plan
     ), plan
+
+
+def test_encode_survives_non_integer_shuffle_conf(spark, monkeypatch):
+    """AQE-managed platforms may hold a non-integer value (e.g. "auto")
+    in spark.sql.shuffle.partitions; encode_blocks must fall back to
+    defaultParallelism instead of raising (ADVICE r4)."""
+    import datetime
+
+    import pandas as pd
+
+    from pyspark.sql.conf import RuntimeConfig
+
+    rows = pd.DataFrame(
+        {
+            "series": ["s"] * 4,
+            "ts": pd.Series(
+                [
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(minutes=30 * i)
+                    for i in range(4)
+                ],
+                dtype="datetime64[us]",
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    orig_get = RuntimeConfig.get
+
+    def auto_conf(self, key, *args, **kwargs):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return orig_get(self, key, *args, **kwargs)
+
+    monkeypatch.setattr(RuntimeConfig, "get", auto_conf)
+    enc = codec.encode_blocks(df, "series", "ts", "value")
+    n = enc.count()
+    monkeypatch.undo()
+    assert n >= 1

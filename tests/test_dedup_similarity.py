@@ -309,9 +309,10 @@ def test_cc_path_graph_near_max_iter(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(d)], "d1 long, d2 long"
     )
-    got = dedup.dedup_clusters(pairs, max_iter=d).toPandas()
+    stats: dict = {}
+    got = dedup.dedup_clusters(pairs, max_iter=d, stats=stats).toPandas()
     assert (got["cluster_id"] == 0).all() and len(got) == d + 1
-    assert dedup.dedup_clusters.last_rounds == d + 1
+    assert stats["rounds"] == d + 1
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dedup_clusters(pairs, max_iter=d // 2)
 
@@ -332,8 +333,72 @@ def test_cc_clique_union_100k_edges(spark):
     pairs = spark.createDataFrame(
         pd.DataFrame({"d1": centers, "d2": leaves})
     )
-    got = dedup.dedup_clusters(pairs).toPandas()
+    stats: dict = {}
+    got = dedup.dedup_clusters(pairs, stats=stats).toPandas()
     assert len(got) == 2000 * 51
-    assert dedup.dedup_clusters.last_rounds <= 3
+    assert stats["rounds"] <= 3
     assert (got["cluster_id"].to_numpy()
             == (got["doc_id"].to_numpy() // 1000) * 1000).all()
+
+
+def test_cc_one_action_per_round(spark, monkeypatch):
+    """The convergence probe is folded into the propagation query via a
+    LAZY localCheckpoint: per round, the ONE driver action is the sum
+    agg whose execution also materializes the round's labels — not a
+    materialize action plus a probe action. (Job counts can't pin this:
+    AQE splits one query into several stage-jobs.)"""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an ABC in 4.x)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    d = 4  # path graph, diameter 4 -> rounds = d + 1 (confirmation)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(d)], "d1 long, d2 long"
+    )
+    actions = []
+    checkpoints = []
+    orig_collect = DataFrame.collect
+    orig_ckpt = DataFrame.localCheckpoint
+
+    def counting_collect(self):
+        actions.append(1)
+        return orig_collect(self)
+
+    def recording_ckpt(self, eager=True):
+        checkpoints.append(eager)
+        return orig_ckpt(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", recording_ckpt)
+    stats: dict = {}
+    got = dedup.dedup_clusters(pairs, max_iter=d, stats=stats)
+    assert stats["rounds"] == d + 1
+    # one action per round + the initial label-seed probe
+    assert len(actions) == 1 + stats["rounds"], actions
+    # every checkpoint lazy: materialized by the probe, never its own job
+    assert checkpoints and all(e is False for e in checkpoints), checkpoints
+    monkeypatch.undo()
+    assert (got.toPandas()["cluster_id"] == 0).all()
+
+
+def test_jaccard_auto_cap_is_lazy(spark, dup_docs, monkeypatch):
+    """The 'auto' doc-frequency cap must not run an eager driver-side
+    count job at plan-construction time — the corpus count rides inside
+    the plan as a broadcast one-row subtree (VERDICT r4 #4)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    def boom(self):
+        raise AssertionError("eager action during plan construction")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    plan = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.7)
+    monkeypatch.undo()
+    got = {tuple(sorted((r.d1, r.d2))) for r in plan.toPandas().itertuples()}
+    assert (0, 1) in got and (0, 2) in got
+    # pre-computed corpus size keeps construction lazy AND skips the
+    # in-plan count subtree entirely
+    monkeypatch.setattr(DataFrame, "count", boom)
+    lazy = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.7, n_docs=8)
+    monkeypatch.undo()
+    got2 = {tuple(sorted((r.d1, r.d2))) for r in lazy.toPandas().itertuples()}
+    assert got2 == got

@@ -261,3 +261,48 @@ def test_streaming_ingest_new_checkpoint_does_not_skip_epochs(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert cat.read("pages").count() == 2 * n
+
+
+def test_epoch_scope_normalized_and_legacy_rows(tmp_path):
+    """Textually different spellings of the same checkpoint dir must key
+    the same committed-epoch set (trailing slash, ./ components,
+    relative vs absolute), and pre-upgrade snapshots that recorded no
+    epoch_scope still suppress replays — but only until any scoped
+    commit exists, so a NEW checkpoint's epoch 0 is never swallowed by
+    a legacy row (ADVICE r4, low)."""
+    import os
+
+    from isp_trace_parser_spark.streaming import ingest_stream
+
+    ck = str(tmp_path / "ck")
+    norm = ingest_stream._norm_scope
+    assert norm(ck + "/") == norm(ck)
+    assert norm(ck + "/./") == norm(ck)
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        assert norm("ck") == norm(ck)
+    finally:
+        os.chdir(cwd)
+    # URI-style scopes: scheme preserved, trailing slash dropped
+    assert norm("hdfs://nn/ck/") == "hdfs://nn/ck"
+
+    class FakeCat:
+        def __init__(self, lineages):
+            self._l = lineages
+
+        def snapshots(self, table):
+            return [{"lineage": ln} for ln in self._l]
+
+    # pre-upgrade table: all epoch rows unscoped -> they belong to the
+    # single legacy checkpoint and a resume must skip them
+    legacy = FakeCat([{"epoch_id": 0}, {"epoch_id": 1}])
+    assert ingest_stream._committed_epochs(legacy, "t", norm(ck)) == {0, 1}
+    # once any scoped commit exists, unscoped rows are ignored
+    mixed = FakeCat(
+        [{"epoch_id": 0}, {"epoch_id": 1, "epoch_scope": norm(ck)}]
+    )
+    assert ingest_stream._committed_epochs(mixed, "t", norm(ck)) == {1}
+    # and a differently-spelled recorded scope still matches
+    spelled = FakeCat([{"epoch_id": 2, "epoch_scope": ck + "/"}])
+    assert ingest_stream._committed_epochs(spelled, "t", norm(ck)) == {2}
