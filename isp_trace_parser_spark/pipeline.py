@@ -132,6 +132,7 @@ def run_rollup_pipeline(
     bucketed_tiers: bool = False,
     tier_buckets: int = 16,
     sum_cast: str | None = None,
+    histogram_bin_width: float | None = None,
 ) -> PipelineResult:
     """``block_size``: Gorilla block span. Weekly blocks (336 half-hour
     points) amortize per-block overhead and compress better than daily
@@ -150,6 +151,13 @@ def run_rollup_pipeline(
     bit-identical across parallelism levels and engines (serving.py
     queries against an oracle rely on this; see docs/DESIGN.md "Number
     formats").
+
+    ``histogram_bin_width``: when set, also maintain mergeable
+    histogram tiers ``hist_30m`` (diffed vs raw, day-partitioned) and
+    ``hist_1d`` (count-sum cascade, month-partitioned) with this bin
+    width — the distribution analog of the avg tiers, consumed by
+    ``TierStore.percentile``. Counts are exact and order-independent,
+    so they join the same incremental snapshot-diff machinery.
     """
     res = PipelineResult()
 
@@ -247,6 +255,34 @@ def run_rollup_pipeline(
         sort_within=["series", "bucket_ts"],
         to_months=True,
     )
+
+    # -- histogram tiers (distribution analog of avg/min/max) -----------
+    if histogram_bin_width is not None:
+        bw = float(histogram_bin_width)
+        _stage(
+            "hist_30m",
+            raw_table,
+            "day_bucket",
+            lambda src: rollup.histogram_tier(
+                src, "url", "warc_ts", "value", 1800, bw
+            ).withColumn(
+                "day_bucket",
+                F.to_date(F.col("bucket_ts") - F.expr("INTERVAL 1 SECOND")),
+            ),
+            partition_by=["day_bucket"],
+            sort_within=["series", "bucket_ts", "bin"],
+        )
+        _stage(
+            "hist_1d",
+            "hist_30m",
+            "day_bucket",
+            lambda src: rollup.histogram_cascade(
+                src.drop("day_bucket"), rollup.TIER_SECONDS["1d"]
+            ).withColumn("month_bucket", month_bucket("bucket_ts")),
+            partition_by=["month_bucket"],
+            sort_within=["series", "bucket_ts", "bin"],
+            to_months=True,
+        )
 
     # -- tier 1mo from 1d partials (tiny: full rewrite when 1d changed) --
     in_state_1mo = partition_state(cat, "agg_1d", "month_bucket")

@@ -114,6 +114,53 @@ class TierStore:
             f"(finest tier is 30m)"
         )
 
+    # histogram tiers (pipeline histogram_bin_width): same routing and
+    # pruning discipline as the avg tiers — coarsest stored tier whose
+    # resolution divides the request, partition pruning before the
+    # scan, count-sum cascade to the requested resolution
+    HIST_TIERS = [
+        ("hist_1d", 86400, "month_bucket"),
+        ("hist_30m", 1800, "day_bucket"),
+    ]
+
+    def percentile(
+        self,
+        q: float,
+        series: str | list[str] | None = None,
+        start: datetime.datetime | None = None,
+        end: datetime.datetime | None = None,
+        resolution: str = "30m",
+        bin_width: float = 0.5,
+    ) -> DataFrame:
+        """Percentile estimate per (series, bucket) at ``resolution``,
+        served from the histogram tiers — never the raw table. Routing,
+        window semantics ((start, end], end-labeled buckets) and
+        partition pruning are identical to :meth:`series`; the coarser
+        resolution is a plain count-sum cascade (histograms are
+        mergeable), and the percentile rule is
+        ``rollup.histogram_percentile``'s deterministic
+        smallest-bin-reaching-ceil(q*total) with midpoint estimate.
+
+        ``bin_width`` must match the pipeline's
+        ``histogram_bin_width`` — it only scales the midpoint estimate;
+        the stored bins fix the actual resolution.
+        """
+        res_s = resolution_seconds(resolution)
+        for table, tier_s, part_col in self.HIST_TIERS:
+            if res_s % tier_s == 0 and self.cat.exists(table):
+                hist = self._slice(
+                    self.cat.read(table), series, start, end, part_col
+                )
+                if res_s != tier_s:
+                    hist = rollup.histogram_cascade(
+                        hist.drop(part_col), res_s
+                    )
+                return rollup.histogram_percentile(hist, q, bin_width)
+        raise ValueError(
+            f"no stored histogram tier divides resolution {resolution!r}"
+            " — run the pipeline with histogram_bin_width set"
+        )
+
     def _slice(self, df, series, start, end, partition_col):
         if series is not None:
             vals = series if isinstance(series, list) else [series]

@@ -22,7 +22,8 @@ def store(spark, tmp_path_factory):
         "url", "warc_ts", "value"
     )
     ingest_pages(cat, pages)
-    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC)
+    run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC,
+                        histogram_bin_width=0.5)
     return cat, pages
 
 
@@ -171,3 +172,78 @@ def test_cold_tier_serving_non_day_span(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert len(hot) > 0 and hot.equals(cold)
+
+
+def test_percentile_serving_matches_direct_histogram(spark, store):
+    """TierStore.percentile routes to the stored hist_30m tier,
+    cascades 30m->2h, and must equal the percentile rule applied to a
+    DIRECT histogram of raw pages at the serving resolution (counts
+    are exact and mergeable — the continuous-aggregate invariant for
+    distributions)."""
+    from isp_trace_parser_spark.operators.rollup import (
+        histogram_percentile,
+        histogram_tier,
+    )
+
+    cat, pages = store
+    ts0 = pages.agg(F.min("warc_ts")).first()[0]
+    start = ts0.replace(hour=0, minute=0, second=0) + datetime.timedelta(days=1)
+    end = start + datetime.timedelta(days=2)
+    got = (
+        TierStore(cat)
+        .percentile(0.95, start=start, end=end, resolution="2h",
+                    bin_width=0.5)
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    raw_win = pages.where(
+        (F.col("warc_ts") > F.lit(start)) & (F.col("warc_ts") <= F.lit(end))
+    )
+    want = (
+        histogram_percentile(
+            histogram_tier(raw_win, "url", "warc_ts", "value", 7200, 0.5),
+            0.95, bin_width=0.5,
+        )
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["bin"] == want["bin"]).all()
+    assert (got["estimate"] == want["estimate"]).all()
+
+
+def test_percentile_serving_prunes_partitions(spark, store):
+    cat, pages = store
+    ts0 = pages.agg(F.min("warc_ts")).first()[0]
+    start = ts0.replace(hour=0, minute=0, second=0) + datetime.timedelta(days=1)
+    end = start + datetime.timedelta(days=1)
+    df = TierStore(cat).percentile(0.95, start=start, end=end,
+                                   resolution="2h")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day_bucket" in plan
+
+
+def test_percentile_daily_routes_to_hist_1d(spark, store):
+    """A 1d request reads the COARSER hist_1d tier (month-partitioned),
+    not hist_30m — coarsest-dividing-tier routing, same as avg."""
+    cat, _ = store
+    df = TierStore(cat).percentile(0.5, resolution="1d")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hist_1d" in plan and "hist_30m" not in plan
+    assert df.count() > 0
+
+
+def test_percentile_requires_histogram_tiers(spark, store):
+    cat, _ = store
+
+    class NoHist:
+        def exists(self, t):
+            return False
+
+        def read(self, t):  # pragma: no cover
+            raise AssertionError
+
+    with pytest.raises(ValueError, match="histogram tier"):
+        TierStore(NoHist()).percentile(0.95, resolution="2h")
