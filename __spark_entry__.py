@@ -2422,6 +2422,105 @@ def q_cold_tier_serving(spark, sf_dir):
     )
 
 
+def q_cold_tier_p95(spark, sf_dir):
+    """Percentile serving from the COLD tier: after retention expires
+    the hot histogram tables, p95 dashboards decode the surviving
+    Gorilla blocks (partition + block_start pruned), histogram the
+    decoded 30m points at the serving resolution and apply the same
+    deterministic ceil(q*total) midpoint rule. The codec round-trip is
+    bit-lossless and the stored tier values are exact-decimal doubles,
+    so binning (floor(v/0.5)) is engine-identical — the oracle
+    recomputes the 30m points from raw events in SQL and histograms
+    them directly."""
+    _prep(spark)
+    import datetime
+
+    from isp_trace_parser_spark.operators.rollup import (
+        histogram_percentile,
+        histogram_tier,
+    )
+    from isp_trace_parser_spark.serving import series_30m_from_blocks
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, _pipelined_wh(spark, sf_dir))
+    pts = series_30m_from_blocks(
+        cat,
+        start=datetime.datetime(2024, 1, 8),
+        end=datetime.datetime(2024, 1, 22),
+        block_span="7 days",
+    )
+    hist = histogram_tier(pts, "series", "bucket_ts", "avg_value",
+                          SEC_1D, 0.5)
+    return histogram_percentile(hist, 0.95, bin_width=0.5)
+
+
+def q_distinct_rollup_1d(spark, sf_dir):
+    """Mergeable distinct-count tier (rollup.distinct_tier): per
+    (event_type, 30m bucket) an HLL sketch of user_id, UNIONED up to
+    1d (sketch union is lossless — identical to sketching raw) and
+    read out as estimated cardinality. DISTINCT cannot be re-summed
+    through tiers, which is why the tier stores sketches; at the
+    contract cardinalities (hundreds of keys per cell, lgk=14) the
+    Datasketches HLL is still in exact sparse mode, so the estimate
+    EQUALS the oracle's exact count(DISTINCT) — pinned here; beyond
+    promotion it degrades to the documented ~1.6% error."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.rollup import (
+        distinct_cascade,
+        distinct_estimate,
+        distinct_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    t30 = distinct_tier(ev, "event_type", "ts", "user_id", SEC_30M, 14)
+    return distinct_estimate(distinct_cascade(t30, SEC_1D))
+
+
+def q_zscore_anomalies(spark, sf_dir):
+    """Trailing-window z-score anomaly detection over the raw event
+    stream (operators/timeseries.zscore_anomalies): each point scored
+    against the 48 PRIOR points of its series, |z| >= 2 flagged. The
+    baseline comes from exact decimal(18,4) sum/sum-of-squares frame
+    aggregates with a fixed double-arithmetic shape on top, so scores
+    are bit-identical across engines and threshold-boundary rows never
+    flip — the property the oracle hash requires."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.timeseries import (
+        zscore_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = zscore_anomalies(
+        ev, "event_type", "ts", "value", "event_id",
+        lookback=48, threshold=2.0, sum_cast="decimal(18,4)",
+    )
+    return out.select(
+        "series", "ts", _q("value", 4).alias("value"),
+        _q("baseline_mean", 4).alias("baseline_mean"),
+        _q("baseline_std", 4).alias("baseline_std"),
+        _q("zscore", 4).alias("zscore"),
+    )
+
+
+def q_seasonal_profile(spark, sf_dir):
+    """Weekly seasonality fingerprint (timeseries.seasonal_profile):
+    mean value and sample count per (event_type, ISO weekday,
+    hour-of-day) — a pure 7x24-cell reduction (map-side combined, no
+    window/UDF; output size independent of input size). Exact decimal
+    partials make the mean engine-identical."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_profile(ev, "event_type", "ts", "value", DEC)
+    return out.select(
+        "series", "weekday", "hour",
+        _q("avg_value", 4).alias("avg_value"), "n_samples",
+    )
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the tier cascade (30m -> 1d) over sf0.001 events."""
@@ -2449,6 +2548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_serving_2h": q_tier_serving_2h,
         "tier_serving_p95": q_tier_serving_p95,
         "twa_raw_sparse": q_twa_raw_sparse,
+        "cold_tier_p95": q_cold_tier_p95,
+        "distinct_rollup_1d": q_distinct_rollup_1d,
+        "zscore_anomalies": q_zscore_anomalies,
+        "seasonal_profile": q_seasonal_profile,
         "tiered_retention": q_tiered_retention,
         "streaming_dedup": q_streaming_dedup,
         "domain_stats": q_domain_stats,
@@ -3103,6 +3206,73 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         WHERE cum >= ceil(0.95 * total)
         GROUP BY series, bucket_ts"""
+    sqls["cold_tier_p95"] = f"""
+        WITH t30 AS (
+          SELECT CAST(user_id AS VARCHAR) AS series,
+                 {_bucket_sql("ts", SEC_30M)} AS b30,
+                 CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                   / count(value) AS v
+          FROM events
+          WHERE ts > TIMESTAMP '2024-01-08 00:00:00'
+            AND ts <= TIMESTAMP '2024-01-22 00:00:00'
+          GROUP BY 1, 2
+        ),
+        h AS (
+          SELECT series, {_bucket_sql("b30", SEC_1D)} AS bucket_ts,
+                 CAST(floor(v / 0.5) AS BIGINT) AS bin, count(*) AS cnt
+          FROM t30 GROUP BY 1, 2, 3
+        ),
+        c AS (
+          SELECT series, bucket_ts, bin,
+                 sum(cnt) OVER (PARTITION BY series, bucket_ts
+                                ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY series, bucket_ts) AS total
+          FROM h
+        )
+        SELECT series, bucket_ts, min(bin) AS bin,
+               (CAST(min(bin) AS DOUBLE) + 0.5) * 0.5 AS estimate
+        FROM c
+        WHERE cum >= ceil(0.95 * total)
+        GROUP BY series, bucket_ts"""
+    sqls["distinct_rollup_1d"] = f"""
+        SELECT event_type AS series,
+               {_bucket_sql("ts", SEC_1D)} AS bucket_ts,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY 1, 2"""
+    sqls["zscore_anomalies"] = """
+        WITH s AS (
+          SELECT event_type AS series, ts, event_id,
+                 CAST(value AS DECIMAL(18,4)) AS v
+          FROM events
+        ),
+        w AS (
+          SELECT series, ts, CAST(v AS DOUBLE) AS value,
+                 CAST(sum(v) OVER fr AS DOUBLE) AS s1,
+                 CAST(sum(v * v) OVER fr AS DOUBLE) AS s2,
+                 count(v) OVER fr AS n
+          FROM s
+          WINDOW fr AS (PARTITION BY series ORDER BY ts, event_id
+                        ROWS BETWEEN 48 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT series, ts, round(value, 4) AS value,
+               round(s1 / n, 4) AS baseline_mean,
+               round(sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 4)
+                 AS baseline_std,
+               round((value - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 4) AS zscore
+        FROM w
+        WHERE n >= 48
+          AND sqrt((s2 - s1 * s1 / n) / (n - 1.0)) > 0
+          AND abs((value - s1 / n)
+                  / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) >= 2.0"""
+    sqls["seasonal_profile"] = """
+        SELECT event_type AS series,
+               CAST(isodow(ts) - 1 AS INT) AS weekday,
+               CAST(hour(ts) AS INT) AS hour,
+               round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                     / count(*), 4) AS avg_value,
+               CAST(count(*) AS BIGINT) AS n_samples
+        FROM events GROUP BY 1, 2, 3"""
     sqls["rolling_mean_1h"] = """
         SELECT user_id, ts,
                round(avg(value) OVER w, 4) AS rolling_avg_1h,

@@ -9,6 +9,11 @@ Policy model (timescale/influx-style continuous-aggregate retention):
     agg_1d      : keep ``t1d_keep_months``      (partition: month_bucket)
     agg_1mo     : keep forever
 
+Histogram tiers (pipeline ``histogram_bin_width``) follow the same
+horizons as their resolution peers: ``hist_30m`` expires with the 30m
+horizon, ``hist_1d`` with the 1d horizon — a percentile dashboard keeps
+exactly as much history as an avg dashboard at the same resolution.
+
 Because every coarser tier is derived from the finer tier's partials
 BEFORE expiry (rollup.rollup_cascade), expiring a fine partition loses no
 information the coarser tiers need — the cascade runs first, the expiry
@@ -66,6 +71,8 @@ def apply_retention(
         (raw_table, "day_bucket", raw_cutoff),
         (t30_table, "day_bucket", t30_cutoff),
         (t1d_table, "month_bucket", t1d_cutoff),
+        ("hist_30m", "day_bucket", t30_cutoff),
+        ("hist_1d", "month_bucket", t1d_cutoff),
     ):
         if not cat.exists(table):
             report[table] = []

@@ -385,3 +385,119 @@ def ewma(
         series_col, ts_col, tiebreak_col
     )
     return arranged.mapInPandas(_run, out_schema)
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lookback: int = 48,
+    threshold: float = 3.0,
+    sum_cast: str | None = None,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection per series: each point
+    is scored against the mean/stddev of the ``lookback`` PRIOR points
+    (the point itself excluded — a spike must not dilute its own
+    baseline), and rows with ``|z| >= threshold`` are flagged.
+
+    One window spec per series (alias-before-window so the single
+    exchange is shared), frame ``rowsBetween(-lookback, -1)`` — O(n)
+    running frame, never an unbounded-following frame. Points with
+    fewer than ``lookback`` priors or a zero/degenerate stddev emit no
+    score (NULL-safe filter), so cold starts and constant series never
+    fire.
+
+    Mean/std come from sum and sum-of-squares frame aggregates, not
+    ``avg``/``stddev_samp`` over doubles: with ``sum_cast`` (e.g.
+    ``decimal(18,4)``) the two frame sums are EXACT integer-scaled
+    decimals, and the double arithmetic on top has one fixed shape —
+    so a z-score is bit-identical across engines and parallelism
+    levels (windowed stddev implementations differ in summation order
+    between engines; exact partials sidestep that). The two-pass
+    textbook formula's cancellation risk is bounded by the decimal
+    exactness of both sums. Threshold-boundary rows therefore never
+    flip between engines — the property the oracle hash requires.
+    """
+    v0 = F.col(value_col)
+    if sum_cast:
+        v0 = v0.cast(sum_cast)
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        v0.alias("_v"),
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("ts", "_tb")
+        .rowsBetween(-lookback, -1)
+    )
+    scored = base.select(
+        "series",
+        "ts",
+        F.col("_v").cast("double").alias("value"),
+        F.sum("_v").over(w).cast("double").alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).over(w).cast("double").alias(
+            "_s2"
+        ),
+        F.count("_v").over(w).alias("_n"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1") / n
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - F.lit(1.0))
+    std = F.sqrt(var)
+    z = (F.col("value") - mean) / std
+    return (
+        scored.where(F.col("_n") >= lookback)
+        .select(
+            "series",
+            "ts",
+            "value",
+            mean.alias("baseline_mean"),
+            std.alias("baseline_std"),
+            z.alias("zscore"),
+        )
+        .where(
+            (F.col("baseline_std") > 0)
+            & (F.abs(F.col("zscore")) >= threshold)
+        )
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    sum_cast: str | None = None,
+) -> DataFrame:
+    """Weekly seasonality profile per series: mean value and sample
+    count by (weekday, hour-of-day) — the fingerprint behind crawl
+    scheduling and anomaly baselining for web traffic (weekday 0 =
+    Monday, ISO convention, portable to the oracle's isodow-1).
+
+    A single map-side-combinable groupBy over (series, 7x24 cells):
+    the output is at most ``n_series x 168`` rows regardless of input
+    size, so at 100 TB this is a pure reduction — no window, no UDF.
+    ``sum_cast`` (rollup.DEC) makes the mean summation-order exact.
+    """
+    v = F.col(value_col)
+    if sum_cast:
+        v = v.cast(sum_cast)
+    return (
+        df.select(
+            F.col(series_col).alias("series"),
+            F.weekday(F.col(ts_col)).alias("weekday"),
+            F.hour(F.col(ts_col)).alias("hour"),
+            v.alias("_v"),
+        )
+        .groupBy("series", "weekday", "hour")
+        .agg(
+            (F.sum("_v").cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )

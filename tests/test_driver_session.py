@@ -65,7 +65,11 @@ for name in ["rollup_30m", "rollup_1mo", "window_fy", "gapfill_30m",
              # round-4: full-vocabulary demand cross (make_timestamp),
              # gap inventory + crawl plan (timestamp_micros ntz casts)
              "parse_demand_cross", "gap_report", "crawl_schedule",
-             "ewma_smooth"]:
+             "ewma_smooth",
+             # round-5: histogram-tier percentile serving (bucket +
+             # partition-prune date math), sparse-series TWA (LOCF
+             # clip at bucket boundaries via unix_micros)
+             "tier_serving_p95", "twa_raw_sparse"]:
     got = queries[name](spark, "/root/testdata/sf0.01").toPandas()
     want = con.execute(oracles[name]).df()
     assert len(got) == len(want), (name, len(got), len(want))

@@ -313,3 +313,57 @@ def test_ewma_closed_form_kernel_property():
     vals = rng.rand(10)
     np.testing.assert_array_equal(
         timeseries._ewma_closed_form(vals, 1.0), vals)
+
+
+def test_zscore_hand_computed(spark):
+    """lookback=3, threshold=1.0 over a handcrafted series: point at
+    t=5 (value 10 after baseline [1,2,3]) must flag with
+    mean=2, std=1, z=8; early points (fewer than 3 priors) and the
+    flat tail must not."""
+    rows = [("a", 60 * i, v) for i, v in enumerate(
+        [1.0, 2.0, 3.0, 10.0, 10.0, 10.0, 10.0])]
+    df = _df(spark, rows)
+    got = timeseries.zscore_anomalies(
+        df, "series", "ts", "value", "uid", lookback=3, threshold=1.0,
+        sum_cast="decimal(18,4)",
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    # t=3: baseline [1,2,3] -> mean 2, var ((114/...)): s1=6, s2=14,
+    # var=(14-12)/2=1, z=(10-2)/1=8
+    assert len(got) == 2
+    assert got.iloc[0]["ts"] == T0 + datetime.timedelta(seconds=180)
+    assert got.iloc[0]["baseline_mean"] == pytest.approx(2.0)
+    assert got.iloc[0]["baseline_std"] == pytest.approx(1.0)
+    assert got.iloc[0]["zscore"] == pytest.approx(8.0)
+    # t=4: baseline [2,3,10] -> mean 5, std sqrt(19), z=5/sqrt(19)<1.15
+    assert got.iloc[1]["ts"] == T0 + datetime.timedelta(seconds=240)
+    assert got.iloc[1]["zscore"] == pytest.approx(5 / (19 ** 0.5))
+    # t=5: baseline [3,10,10] has std>0 but |z|<1; t=6: [10,10,10]
+    # degenerate std -> suppressed
+
+
+def test_zscore_plan_single_exchange_no_udf(spark):
+    df = _df(spark, [("a", 60, 1.0), ("a", 120, 2.0)])
+    z = timeseries.zscore_anomalies(df, "series", "ts", "value", "uid")
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_seasonal_profile_hand_computed(spark):
+    """2024-01-01 is a Monday (weekday 0). Two samples in the same
+    (Mon, hour 0) cell average; a Tuesday sample lands in its own
+    cell."""
+    df = _df(spark, [
+        ("a", 600, 4.0),          # Mon 00:10
+        ("a", 1800, 8.0),         # Mon 00:30
+        ("a", 86400 + 3600, 5.0),  # Tue 01:00
+    ])
+    got = {
+        (r["weekday"], r["hour"]): (r["avg_value"], r["n_samples"])
+        for r in timeseries.seasonal_profile(
+            df, "series", "ts", "value"
+        ).collect()
+    }
+    assert got[(0, 0)] == (6.0, 2)
+    assert got[(1, 1)] == (5.0, 1)
+    assert len(got) == 2
