@@ -80,6 +80,11 @@ HEADLINE = [
     "histogram_p95",
     "ewma_smooth",
     "crawl_schedule",
+    # round-5 additions: mergeable cardinality tier, trailing-window
+    # anomaly scoring, weekly seasonality reduction
+    "distinct_rollup_1d",
+    "zscore_anomalies",
+    "seasonal_profile",
 ]
 
 
@@ -146,6 +151,46 @@ def main() -> None:
             + f" rows={n}",
             file=sys.stderr,
         )
+
+    # --- EWMA production path: the registry's ewma_smooth row runs the
+    # opt-in exact_shape oracle-parity loop; the line below times the
+    # PRODUCTION vectorized closed form on the same tier input so the
+    # round-over-round record tracks what ships (VERDICT r4 #2)
+    from pyspark.sql import functions as F
+
+    from isp_trace_parser_spark.operators.timeseries import ewma as _ewma
+
+    def _ewma_prod():
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        t30 = ev.groupBy(
+            F.col("user_id").alias("series"),
+            rollup.bucket_end(F.col("ts"), 1800).alias("bucket_ts"),
+        ).agg(
+            (
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+                / F.count("value")
+            ).alias("value")
+        )
+        return _ewma(t30, "series", "bucket_ts", "value", "bucket_ts",
+                     alpha=0.1)
+
+    t0 = time.perf_counter()
+    _ewma_prod().count()
+    dt = time.perf_counter() - t0
+    results["ewma_vectorized"] = round(dt, 3)
+    total += dt
+    warm = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _ewma_prod().count()
+        warm.append(time.perf_counter() - t0)
+    if warm:
+        warm_min["ewma_vectorized"] = round(min(warm), 3)
+    print(
+        f"# ewma_vectorized: cold {dt:.3f}s"
+        + (f" warm_min {min(warm):.3f}s" if warm else ""),
+        file=sys.stderr,
+    )
 
     # --- north-metric job: 3-tier rollup + codec over synthetic pages,
     # through the real catalog-backed pipeline (one raw scan, tiers
