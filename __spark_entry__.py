@@ -162,6 +162,38 @@ def _pipelined_wh(spark: SparkSession, sf_dir: str) -> str:
     return _FIXTURES[key]
 
 
+def _distinct_wh(spark: SparkSession, sf_dir: str) -> str:
+    """Small cardinality-tier warehouse per (process, sf_dir): events
+    land as (url=event_type, warc_ts, value, visitor=user_id) and the
+    pipeline maintains dist_30m/dist_1d HLL tiers over ``visitor``.
+    Separate from _pipelined_wh so the shared fixture's raw schema (and
+    every row pinned against it) stays untouched."""
+    key = ("distinct", sf_dir)
+    if key not in _FIXTURES:
+        import tempfile
+
+        from isp_trace_parser_spark.pipeline import (
+            ingest_pages,
+            run_rollup_pipeline,
+        )
+        from isp_trace_parser_spark.sources.catalog import Catalog
+
+        base = tempfile.mkdtemp(prefix="entry_dwh_") + "/wh"
+        cat = Catalog(spark, base)
+        pages = _t(spark, sf_dir, "events").select(
+            F.col("event_type").alias("url"),
+            F.col("ts").alias("warc_ts"),
+            "value",
+            F.col("user_id").cast("string").alias("visitor"),
+        )
+        ingest_pages(cat, pages, n_buckets=4)
+        run_rollup_pipeline(
+            spark, cat, encode_blocks=False, distinct_key="visitor",
+        )
+        _FIXTURES[key] = base
+    return _FIXTURES[key]
+
+
 def _clone_pipelined(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     """Private mutable copy of the pipelined warehouse (snapshot log
     and data files are all relative paths, so a copy IS a valid
@@ -2422,6 +2454,29 @@ def q_cold_tier_serving(spark, sf_dir):
     )
 
 
+def q_tier_serving_distinct(spark, sf_dir):
+    """Cardinality serving through the TierStore router: the pipeline
+    maintains HLL sketch tiers (dist_30m/dist_1d over visitor ids —
+    see _distinct_wh) and TierStore.distinct answers "distinct
+    visitors per series at 2h over a week" by routing to dist_30m,
+    pruning day partitions and UNIONING sketches up to 2h (lossless —
+    identical to sketching raw). At the contract cardinalities the
+    sketches are sparse-mode exact, so the estimate equals the
+    oracle's exact count(DISTINCT)."""
+    _prep(spark)
+    import datetime
+
+    from isp_trace_parser_spark.serving import TierStore
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, _distinct_wh(spark, sf_dir))
+    return TierStore(cat).distinct(
+        start=datetime.datetime(2024, 1, 2),
+        end=datetime.datetime(2024, 1, 9),
+        resolution="2h",
+    )
+
+
 def q_cold_tier_p95(spark, sf_dir):
     """Percentile serving from the COLD tier: after retention expires
     the hot histogram tables, p95 dashboards decode the surviving
@@ -2552,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup_1d": q_distinct_rollup_1d,
         "zscore_anomalies": q_zscore_anomalies,
         "seasonal_profile": q_seasonal_profile,
+        "tier_serving_distinct": q_tier_serving_distinct,
         "tiered_retention": q_tiered_retention,
         "streaming_dedup": q_streaming_dedup,
         "domain_stats": q_domain_stats,
@@ -3239,6 +3295,14 @@ def oracle_sql() -> dict[str, str]:
                {_bucket_sql("ts", SEC_1D)} AS bucket_ts,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         FROM events GROUP BY 1, 2"""
+    sqls["tier_serving_distinct"] = f"""
+        SELECT event_type AS series,
+               {_bucket_sql("ts", 7200)} AS bucket_ts,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-02 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-09 00:00:00'
+        GROUP BY 1, 2"""
     sqls["zscore_anomalies"] = """
         WITH s AS (
           SELECT event_type AS series, ts, event_id,

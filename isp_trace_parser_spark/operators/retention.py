@@ -9,10 +9,12 @@ Policy model (timescale/influx-style continuous-aggregate retention):
     agg_1d      : keep ``t1d_keep_months``      (partition: month_bucket)
     agg_1mo     : keep forever
 
-Histogram tiers (pipeline ``histogram_bin_width``) follow the same
-horizons as their resolution peers: ``hist_30m`` expires with the 30m
-horizon, ``hist_1d`` with the 1d horizon — a percentile dashboard keeps
-exactly as much history as an avg dashboard at the same resolution.
+Histogram tiers (pipeline ``histogram_bin_width``) and distinct-count
+tiers (pipeline ``distinct_key``) follow the same horizons as their
+resolution peers: ``hist_30m``/``dist_30m`` expire with the 30m
+horizon, ``hist_1d``/``dist_1d`` with the 1d horizon — a percentile or
+cardinality dashboard keeps exactly as much history as an avg
+dashboard at the same resolution.
 
 Because every coarser tier is derived from the finer tier's partials
 BEFORE expiry (rollup.rollup_cascade), expiring a fine partition loses no
@@ -73,6 +75,8 @@ def apply_retention(
         (t1d_table, "month_bucket", t1d_cutoff),
         ("hist_30m", "day_bucket", t30_cutoff),
         ("hist_1d", "month_bucket", t1d_cutoff),
+        ("dist_30m", "day_bucket", t30_cutoff),
+        ("dist_1d", "month_bucket", t1d_cutoff),
     ):
         if not cat.exists(table):
             report[table] = []

@@ -133,6 +133,8 @@ def run_rollup_pipeline(
     tier_buckets: int = 16,
     sum_cast: str | None = None,
     histogram_bin_width: float | None = None,
+    distinct_key: str | None = None,
+    distinct_lgk: int = 14,
 ) -> PipelineResult:
     """``block_size``: Gorilla block span. Weekly blocks (336 half-hour
     points) amortize per-block overhead and compress better than daily
@@ -158,6 +160,12 @@ def run_rollup_pipeline(
     width — the distribution analog of the avg tiers, consumed by
     ``TierStore.percentile``. Counts are exact and order-independent,
     so they join the same incremental snapshot-diff machinery.
+
+    ``distinct_key``: when set, also maintain mergeable HLL
+    cardinality tiers ``dist_30m``/``dist_1d`` over this raw column
+    (distinct ``distinct_key`` per (url, bucket)) — sketch union is
+    lossless, so the cascade is exact w.r.t. the sketch; served by
+    ``TierStore.distinct``. ``distinct_lgk`` sizes the sketches.
     """
     res = PipelineResult()
 
@@ -281,6 +289,33 @@ def run_rollup_pipeline(
             ).withColumn("month_bucket", month_bucket("bucket_ts")),
             partition_by=["month_bucket"],
             sort_within=["series", "bucket_ts", "bin"],
+            to_months=True,
+        )
+
+    # -- distinct-count tiers (mergeable HLL cardinality) ----------------
+    if distinct_key is not None:
+        _stage(
+            "dist_30m",
+            raw_table,
+            "day_bucket",
+            lambda src: rollup.distinct_tier(
+                src, "url", "warc_ts", distinct_key, 1800, distinct_lgk
+            ).withColumn(
+                "day_bucket",
+                F.to_date(F.col("bucket_ts") - F.expr("INTERVAL 1 SECOND")),
+            ),
+            partition_by=["day_bucket"],
+            sort_within=["series", "bucket_ts"],
+        )
+        _stage(
+            "dist_1d",
+            "dist_30m",
+            "day_bucket",
+            lambda src: rollup.distinct_cascade(
+                src.drop("day_bucket"), rollup.TIER_SECONDS["1d"]
+            ).withColumn("month_bucket", month_bucket("bucket_ts")),
+            partition_by=["month_bucket"],
+            sort_within=["series", "bucket_ts"],
             to_months=True,
         )
 

@@ -161,6 +161,43 @@ class TierStore:
             " — run the pipeline with histogram_bin_width set"
         )
 
+    # HLL cardinality tiers (pipeline distinct_key): same routing; the
+    # coarser resolution is a lossless sketch UNION
+    DIST_TIERS = [
+        ("dist_1d", 86400, "month_bucket"),
+        ("dist_30m", 1800, "day_bucket"),
+    ]
+
+    def distinct(
+        self,
+        series: str | list[str] | None = None,
+        start: datetime.datetime | None = None,
+        end: datetime.datetime | None = None,
+        resolution: str = "30m",
+    ) -> DataFrame:
+        """Estimated distinct-count per (series, bucket) at
+        ``resolution``, served from the HLL sketch tiers — the only
+        way DISTINCT survives tiering (per-bucket distinct counts
+        cannot be re-summed; sketches union losslessly). Routing,
+        window semantics and partition pruning match :meth:`series`.
+        Exact while sketches are in sparse mode, ~±1.6%/sqrt(2^lgk)
+        beyond."""
+        res_s = resolution_seconds(resolution)
+        for table, tier_s, part_col in self.DIST_TIERS:
+            if res_s % tier_s == 0 and self.cat.exists(table):
+                tier = self._slice(
+                    self.cat.read(table), series, start, end, part_col
+                )
+                if res_s != tier_s:
+                    tier = rollup.distinct_cascade(
+                        tier.drop(part_col), res_s
+                    )
+                return rollup.distinct_estimate(tier)
+        raise ValueError(
+            f"no stored distinct tier divides resolution {resolution!r}"
+            " — run the pipeline with distinct_key set"
+        )
+
     def _slice(self, df, series, start, end, partition_col):
         if series is not None:
             vals = series if isinstance(series, list) else [series]

@@ -19,11 +19,18 @@ from isp_trace_parser_spark.sources.catalog import Catalog
 def store(spark, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("serve") / "wh"))
     pages = synth.pages(spark, n_urls=6, n_slots=48 * 6, gap_pct=5).select(
-        "url", "warc_ts", "value"
+        "url",
+        "warc_ts",
+        "value",
+        # synthetic visitor id: deterministic small-cardinality key for
+        # the distinct tiers (sparse-mode exact)
+        (F.abs(F.xxhash64("url", "warc_ts")) % 40).cast("string").alias(
+            "visitor"
+        ),
     )
     ingest_pages(cat, pages)
     run_rollup_pipeline(spark, cat, encode_blocks=False, sum_cast=DEC,
-                        histogram_bin_width=0.5)
+                        histogram_bin_width=0.5, distinct_key="visitor")
     return cat, pages
 
 
@@ -247,3 +254,55 @@ def test_percentile_requires_histogram_tiers(spark, store):
 
     with pytest.raises(ValueError, match="histogram tier"):
         TierStore(NoHist()).percentile(0.95, resolution="2h")
+
+
+def test_distinct_serving_matches_exact(spark, store):
+    """TierStore.distinct routes to the sketch tiers and (at sparse-
+    mode cardinalities) equals exact count(DISTINCT) computed from raw
+    pages at the serving resolution; the 2h request exercises the
+    30m->2h sketch-union cascade."""
+    from isp_trace_parser_spark.operators.rollup import bucket_end
+
+    cat, pages = store
+    ts0 = pages.agg(F.min("warc_ts")).first()[0]
+    start = ts0.replace(hour=0, minute=0, second=0) + datetime.timedelta(days=1)
+    end = start + datetime.timedelta(days=2)
+    got = (
+        TierStore(cat)
+        .distinct(start=start, end=end, resolution="2h")
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pages.where(
+            (F.col("warc_ts") > F.lit(start)) & (F.col("warc_ts") <= F.lit(end))
+        )
+        .groupBy(
+            F.col("url").alias("series"),
+            bucket_end(F.col("warc_ts"), 7200).alias("bucket_ts"),
+        )
+        .agg(F.countDistinct("visitor").alias("n_exact"))
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n_distinct"].to_numpy() == want["n_exact"].to_numpy()).all()
+
+
+def test_distinct_serving_daily_routes_to_dist_1d(spark, store):
+    cat, _ = store
+    df = TierStore(cat).distinct(resolution="1d")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dist_1d" in plan and "dist_30m" not in plan
+    assert df.count() > 0
+
+
+def test_distinct_serving_requires_tiers(spark):
+    class NoTier:
+        def exists(self, t):
+            return False
+
+    with pytest.raises(ValueError, match="distinct tier"):
+        TierStore(NoTier()).distinct(resolution="2h")
