@@ -114,6 +114,60 @@ class TierStore:
             f"(finest tier is 30m)"
         )
 
+    def series_auto(
+        self,
+        start: datetime.datetime,
+        end: datetime.datetime,
+        series: str | list[str] | None = None,
+        max_points: int = 2000,
+    ) -> tuple[DataFrame, str]:
+        """Dashboard-style auto-resolution: pick the FINEST servable
+        resolution whose point count per series over ``[start, end)``
+        fits ``max_points`` (a chart pixel budget), then serve through
+        :meth:`series`. Returns ``(df, resolution)`` so the caller can
+        label axes. Candidate ladder: every multiple of a stored tier
+        the router can cascade to — 30m, 1h, 2h, ..., 1d, 2d, ... —
+        scanned coarse-to-fine; falls back to the coarsest candidate
+        if even it overflows the budget (a 10-year window simply gets
+        10 * 365 daily points).
+
+        Pure metadata arithmetic on the window span — no data is read
+        to make the choice, so the decision is free at any table size.
+        """
+        span_s = int((end - start).total_seconds())
+        if span_s <= 0:
+            raise ValueError("end must be after start")
+        candidates = [
+            ("30m", 1800), ("1h", 3600), ("2h", 7200), ("4h", 14400),
+            ("6h", 21600), ("12h", 43200), ("1d", 86400), ("2d", 172800),
+            ("7d", 604800), ("28d", 2419200),
+        ]
+        stored = [
+            tier_s
+            for _t, tier_s, _c, _f in self.TIERS
+            if self.cat.exists(_t)
+        ]
+        servable = [
+            (label, res_s)
+            for label, res_s in candidates
+            if any(res_s % tier_s == 0 for tier_s in stored)
+        ]
+        if not servable:
+            raise ValueError("no stored tier available")
+        choice = None
+        for label, res_s in servable:  # finest-first
+            if -(-span_s // res_s) <= max_points:
+                choice = (label, res_s)
+                break
+        if choice is None:
+            choice = servable[-1]  # coarsest still overflows: serve it
+        label, _res_s = choice
+        return (
+            self.series(series=series, start=start, end=end,
+                        resolution=label),
+            label,
+        )
+
     # histogram tiers (pipeline histogram_bin_width): same routing and
     # pruning discipline as the avg tiers — coarsest stored tier whose
     # resolution divides the request, partition pruning before the

@@ -306,3 +306,33 @@ def test_distinct_serving_requires_tiers(spark):
 
     with pytest.raises(ValueError, match="distinct tier"):
         TierStore(NoTier()).distinct(resolution="2h")
+
+
+def test_series_auto_resolution_choice(spark, store):
+    """Pixel-budget routing: finest servable resolution fitting
+    max_points; metadata-only decision (no scan)."""
+    cat, pages = store
+    ts0 = pages.agg(F.min("warc_ts")).first()[0]
+    start = ts0.replace(hour=0, minute=0, second=0) + datetime.timedelta(days=1)
+    end = start + datetime.timedelta(days=2)
+    df, res = TierStore(cat).series_auto(start, end, max_points=2000)
+    assert res == "30m"
+    df2, res2 = TierStore(cat).series_auto(start, end, max_points=50)
+    assert res2 == "1h"
+    assert df2.count() > 0
+    # parity with an explicit-resolution request
+    explicit = TierStore(cat).series(start=start, end=end, resolution="1h")
+    got = df2.toPandas().sort_values(["series", "bucket_ts"]).reset_index(drop=True)
+    want = explicit.toPandas().sort_values(["series", "bucket_ts"]).reset_index(drop=True)
+    assert (got["avg_value"] == want["avg_value"]).all()
+    # budget of 1 point over a 2-day window: one 2d bucket fits exactly
+    _df3, res3 = TierStore(cat).series_auto(start, end, max_points=1)
+    assert res3 == "2d"
+    # a 100-day window at budget 1 overflows every candidate: the
+    # coarsest (28d) still serves rather than erroring
+    _df4, res4 = TierStore(cat).series_auto(
+        start, start + datetime.timedelta(days=100), max_points=1
+    )
+    assert res4 == "28d"
+    with pytest.raises(ValueError, match="after start"):
+        TierStore(cat).series_auto(end, start)
