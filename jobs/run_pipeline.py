@@ -57,6 +57,13 @@ def main() -> None:
                     help="'trace' ingests only (url, warc_ts, value) — the "
                     "rollup engine's input plane; 'full' includes the "
                     "synthetic html/text payload columns")
+    ap.add_argument("--histogram-bin-width", type=float, default=None,
+                    help="also maintain hist_30m/hist_1d mergeable "
+                    "histogram tiers at this bin width (percentile "
+                    "serving via TierStore.percentile)")
+    ap.add_argument("--distinct-key", default=None,
+                    help="also maintain dist_30m/dist_1d HLL cardinality "
+                    "tiers over this raw column (TierStore.distinct)")
     args = ap.parse_args()
 
     from isp_trace_parser_spark import synth
@@ -97,7 +104,11 @@ def main() -> None:
         now = last + datetime.timedelta(days=1)
 
     t1 = time.perf_counter()
-    res = run_rollup_pipeline(spark, cat, policy=policy, now=now)
+    res = run_rollup_pipeline(
+        spark, cat, policy=policy, now=now,
+        histogram_bin_width=args.histogram_bin_width,
+        distinct_key=args.distinct_key,
+    )
     rollup_dt = time.perf_counter() - t1
 
     compacted = {}
