@@ -2477,6 +2477,30 @@ def q_tier_serving_distinct(spark, sf_dir):
     )
 
 
+def q_tier_serving_auto(spark, sf_dir):
+    """Pixel-budget auto-resolution serving (TierStore.series_auto):
+    a 2-day window with max_points=50 can't fit 96 half-hours, so the
+    router picks 1h (48 points) — the finest servable resolution under
+    budget — and serves it through the normal tier path (30m tier +
+    pruning + partial cascade). The choice is pure metadata
+    arithmetic; the oracle aggregates raw events at the predictable
+    1h resolution."""
+    _prep(spark)
+    import datetime
+
+    from isp_trace_parser_spark.serving import TierStore
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, _pipelined_wh(spark, sf_dir))
+    out, res = TierStore(cat).series_auto(
+        start=datetime.datetime(2024, 1, 2),
+        end=datetime.datetime(2024, 1, 4),
+        max_points=50,
+    )
+    assert res == "1h", res
+    return _round_aggs(out)
+
+
 def q_cold_tier_p95(spark, sf_dir):
     """Percentile serving from the COLD tier: after retention expires
     the hot histogram tables, p95 dashboards decode the surviving
@@ -2608,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_anomalies": q_zscore_anomalies,
         "seasonal_profile": q_seasonal_profile,
         "tier_serving_distinct": q_tier_serving_distinct,
+        "tier_serving_auto": q_tier_serving_auto,
         "tiered_retention": q_tiered_retention,
         "streaming_dedup": q_streaming_dedup,
         "domain_stats": q_domain_stats,
@@ -3235,6 +3260,13 @@ def oracle_sql() -> dict[str, str]:
     sqls["tier_serving_2h"] = f"""
         SELECT CAST(user_id AS VARCHAR) AS series,
                {_bucket_sql("ts", 7200)} AS bucket_ts, {_AGG_SQL}
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-02 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-04 00:00:00'
+        GROUP BY 1, 2"""
+    sqls["tier_serving_auto"] = f"""
+        SELECT CAST(user_id AS VARCHAR) AS series,
+               {_bucket_sql("ts", 3600)} AS bucket_ts, {_AGG_SQL}
         FROM events
         WHERE ts > TIMESTAMP '2024-01-02 00:00:00'
           AND ts <= TIMESTAMP '2024-01-04 00:00:00'
