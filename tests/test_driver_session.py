@@ -68,8 +68,10 @@ for name in ["rollup_30m", "rollup_1mo", "window_fy", "gapfill_30m",
              "ewma_smooth",
              # round-5: histogram-tier percentile serving (bucket +
              # partition-prune date math), sparse-series TWA (LOCF
-             # clip at bucket boundaries via unix_micros)
-             "tier_serving_p95", "twa_raw_sparse"]:
+             # clip at bucket boundaries via unix_micros), sketch-tier
+             # cardinality serving, auto-resolution routing
+             "tier_serving_p95", "twa_raw_sparse",
+             "tier_serving_distinct", "tier_serving_auto"]:
     got = queries[name](spark, "/root/testdata/sf0.01").toPandas()
     want = con.execute(oracles[name]).df()
     assert len(got) == len(want), (name, len(got), len(want))
