@@ -139,3 +139,33 @@ def test_bucketed_table_survives_fresh_session(spark, tmp_path):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0
     assert agg.count() == 20
+
+
+def test_serving_routes_prune_at_scan(spark):
+    """Every TierStore route (avg, percentile, distinct, auto) must
+    reach the parquet scan with BOTH partition pruning (day_bucket
+    PartitionFilters) and data filters (bucket_ts PushedFilters) — a
+    serving read that lists the whole table is wrong at any scale."""
+    import datetime
+
+    import __spark_entry__ as em
+    from isp_trace_parser_spark.serving import TierStore
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    start = datetime.datetime(2024, 1, 2)
+    end = datetime.datetime(2024, 1, 4)
+    hot = TierStore(Catalog(spark, em._pipelined_wh(spark, sf)))
+    dist = TierStore(Catalog(spark, em._distinct_wh(spark, sf)))
+    routes = {
+        "series": hot.series(start=start, end=end, resolution="2h"),
+        "percentile": hot.percentile(0.95, start=start, end=end,
+                                     resolution="2h"),
+        "auto": hot.series_auto(start, end, max_points=50)[0],
+        "distinct": dist.distinct(start=start, end=end, resolution="2h"),
+    }
+    for name, df in routes.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "day_bucket" in plan, (
+            name, plan[:800])
+        assert "PushedFilters: [IsNotNull(bucket_ts)" in plan, name
