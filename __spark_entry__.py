@@ -2581,6 +2581,29 @@ def q_zscore_anomalies(spark, sf_dir):
     )
 
 
+def q_histogram_multi_q(spark, sf_dir):
+    """p50/p95/p99 per (series, day) in ONE pass over the histogram
+    tier (rollup.histogram_percentiles): the three quantiles share the
+    cumulative window and the (series, bucket) grouping — conditional
+    min aggregates, not three re-runs. Same deterministic
+    ceil(q*total) rule per q; oracle is the per-q rule UNION ALL'd."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.rollup import (
+        histogram_cascade,
+        histogram_percentiles,
+        histogram_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    t30 = histogram_tier(ev, "user_id", "ts", "value", SEC_30M, 0.5)
+    t1d = histogram_cascade(t30, SEC_1D)
+    out = histogram_percentiles(t1d, [0.5, 0.95, 0.99], bin_width=0.5)
+    return out.select(
+        F.col("series").cast("long").alias("series"),
+        "bucket_ts", "q", "bin", "estimate",
+    )
+
+
 def q_seasonal_profile(spark, sf_dir):
     """Weekly seasonality fingerprint (timeseries.seasonal_profile):
     mean value and sample count per (event_type, ISO weekday,
@@ -2631,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup_1d": q_distinct_rollup_1d,
         "zscore_anomalies": q_zscore_anomalies,
         "seasonal_profile": q_seasonal_profile,
+        "histogram_multi_q": q_histogram_multi_q,
         "tier_serving_distinct": q_tier_serving_distinct,
         "tier_serving_auto": q_tier_serving_auto,
         "tiered_retention": q_tiered_retention,
@@ -3322,6 +3346,38 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         WHERE cum >= ceil(0.95 * total)
         GROUP BY series, bucket_ts"""
+    sqls["histogram_multi_q"] = f"""
+        WITH h AS (
+          SELECT user_id AS series,
+                 {_bucket_sql("ts", SEC_1D)} AS bucket_ts,
+                 CAST(floor(value / 0.5) AS BIGINT) AS bin,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3
+        ),
+        c AS (
+          SELECT series, bucket_ts, bin,
+                 sum(cnt) OVER (PARTITION BY series, bucket_ts
+                                ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY series, bucket_ts) AS total
+          FROM h
+        )
+        SELECT series, bucket_ts, CAST(0.5 AS DOUBLE) AS q,
+                   min(bin) AS bin,
+                   (CAST(min(bin) AS DOUBLE) + 0.5) * 0.5 AS estimate
+            FROM c WHERE cum >= ceil(0.5 * total)
+            GROUP BY series, bucket_ts
+            UNION ALL
+            SELECT series, bucket_ts, CAST(0.95 AS DOUBLE) AS q,
+                   min(bin) AS bin,
+                   (CAST(min(bin) AS DOUBLE) + 0.5) * 0.5 AS estimate
+            FROM c WHERE cum >= ceil(0.95 * total)
+            GROUP BY series, bucket_ts
+            UNION ALL
+            SELECT series, bucket_ts, CAST(0.99 AS DOUBLE) AS q,
+                   min(bin) AS bin,
+                   (CAST(min(bin) AS DOUBLE) + 0.5) * 0.5 AS estimate
+            FROM c WHERE cum >= ceil(0.99 * total)
+            GROUP BY series, bucket_ts"""
     sqls["distinct_rollup_1d"] = f"""
         SELECT event_type AS series,
                {_bucket_sql("ts", SEC_1D)} AS bucket_ts,

@@ -310,3 +310,56 @@ def distinct_estimate(tier: DataFrame) -> DataFrame:
         "bucket_ts",
         F.hll_sketch_estimate("hll").alias("n_distinct"),
     )
+
+
+def histogram_percentiles(
+    tier: DataFrame, qs: list[float], bin_width: float = 0.5
+) -> DataFrame:
+    """Several percentiles per (series, bucket) in ONE pass over the
+    histogram tier — p50/p95/p99 dashboards share the cumulative
+    window instead of re-running :func:`histogram_percentile` per q.
+
+    Same deterministic rule per q (smallest bin whose cumulative count
+    reaches ``ceil(q*total)``, midpoint estimate); the per-q answers
+    are conditional ``min`` aggregates over the SAME (series, bucket)
+    grouping the window clusters on, so the whole plan keeps the
+    single exchange; the long (series, bucket_ts, q, bin, estimate)
+    output is a post-agg ``stack`` projection.
+    """
+    part = Window.partitionBy("series", "bucket_ts")
+    w = part.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("cnt").over(w)
+    total = F.sum("cnt").over(part)
+    flagged = tier.select(
+        "series",
+        "bucket_ts",
+        "bin",
+        *[
+            (cum >= F.ceil(F.lit(q) * total)).alias(f"_hit_{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    agged = flagged.groupBy("series", "bucket_ts").agg(
+        *[
+            F.min(F.when(F.col(f"_hit_{i}"), F.col("bin"))).alias(
+                f"_bin_{i}"
+            )
+            for i in range(len(qs))
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({q!r} AS DOUBLE), _bin_{i}" for i, q in enumerate(qs)
+    )
+    return agged.select(
+        "series",
+        "bucket_ts",
+        F.expr(f"stack({len(qs)}, {stack_args}) AS (q, bin)"),
+    ).select(
+        "series",
+        "bucket_ts",
+        "q",
+        "bin",
+        ((F.col("bin") + F.lit(0.5)) * F.lit(bin_width)).alias("estimate"),
+    )

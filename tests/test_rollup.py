@@ -212,3 +212,30 @@ def test_distinct_tier_cascade_equals_direct(spark):
     assert len(m) == len(via_tier) == len(direct) == len(exact) > 0
     assert (m["n_distinct_t"] == m["n_distinct_d"]).all()
     assert (m["n_distinct_t"] == m["n_exact"]).all()
+
+
+def test_histogram_percentiles_single_extra_exchange(spark):
+    """Multi-q readout shares the cumulative window's exchange with
+    the final grouping: exactly ONE exchange beyond the tier build,
+    and per-q answers equal the single-q operator's."""
+    from pyspark.sql import functions as F
+
+    pages = synth.pages(spark, n_urls=8, n_slots=48 * 3, gap_pct=0)
+    tier = rollup.histogram_tier(pages, bucket_seconds=86400, bin_width=0.5)
+    multi = rollup.histogram_percentiles(tier, [0.5, 0.95])
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan  # tier build + shared window/agg
+    for q in (0.5, 0.95):
+        single = (
+            rollup.histogram_percentile(tier, q)
+            .toPandas()
+            .set_index(["series", "bucket_ts"])["estimate"]
+            .sort_index()
+        )
+        sub = (
+            multi.where(F.col("q") == q)
+            .toPandas()
+            .set_index(["series", "bucket_ts"])["estimate"]
+            .sort_index()
+        )
+        assert (single == sub).all()
