@@ -818,6 +818,43 @@ def q_streaming_rollup_30m(spark, sf_dir):
     return _round_aggs(spark.table(qname))
 
 
+def q_streaming_histogram_30m(spark, sf_dir):
+    """Streaming 30m HISTOGRAM tier (streaming/rollup_stream.py): the
+    mergeable (series, bucket, bin) count sketch maintained by a
+    watermarked streaming aggregation must equal the batch
+    histogram_tier — counts are exact integers, so even the value hash
+    matches the direct-histogram oracle. This is the live-crawl path
+    that keeps TierStore.percentile dashboards current."""
+    _prep(spark)
+    import tempfile
+    import uuid
+
+    from isp_trace_parser_spark.streaming.rollup_stream import (
+        streaming_histogram_30m,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = streaming_histogram_30m(
+        stream, series_col="event_type", ts_col="ts", bin_width=0.5
+    )
+    qname = f"streamhist_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckhist_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components (iterative min-label propagation with
     localCheckpoint lineage truncation) over the df-capped jaccard pair
@@ -2655,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_anomalies": q_zscore_anomalies,
         "seasonal_profile": q_seasonal_profile,
         "histogram_multi_q": q_histogram_multi_q,
+        "streaming_histogram_30m": q_streaming_histogram_30m,
         "tier_serving_distinct": q_tier_serving_distinct,
         "tier_serving_auto": q_tier_serving_auto,
         "tiered_retention": q_tiered_retention,
@@ -3378,6 +3416,12 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(min(bin) AS DOUBLE) + 0.5) * 0.5 AS estimate
             FROM c WHERE cum >= ceil(0.99 * total)
             GROUP BY series, bucket_ts"""
+    sqls["streaming_histogram_30m"] = f"""
+        SELECT event_type AS series,
+               {_bucket_sql("ts", SEC_30M)} AS bucket_ts,
+               CAST(floor(value / 0.5) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2, 3"""
     sqls["distinct_rollup_1d"] = f"""
         SELECT event_type AS series,
                {_bucket_sql("ts", SEC_1D)} AS bucket_ts,

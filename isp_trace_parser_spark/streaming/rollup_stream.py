@@ -75,3 +75,43 @@ def streaming_rollup_30m(
             "cnt_value",
         )
     )
+
+
+def streaming_histogram_30m(
+    stream: DataFrame,
+    series_col: str = "url",
+    ts_col: str = "warc_ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    bin_width: float = 0.5,
+) -> DataFrame:
+    """Streaming 30m HISTOGRAM tier: the distribution analog of
+    :func:`streaming_rollup_30m`, maintaining the same mergeable
+    (series, bucket, bin) -> count sketch the batch
+    ``rollup.histogram_tier`` builds — a live crawl keeps percentile
+    dashboards current without re-scanning raw data. Counts are exact
+    integers, so streamed state equals the batch tier bit-for-bit, and
+    the output can be landed into ``hist_30m`` and cascaded/served by
+    the same TierStore.percentile path.
+    """
+    return (
+        stream.withColumn("_ts_ltz", F.col(ts_col).cast("timestamp_ltz"))
+        .withWatermark("_ts_ltz", watermark)
+        .groupBy(
+            F.col(series_col).alias("series"),
+            F.window(
+                F.col("_ts_ltz") - F.expr("INTERVAL 1 MICROSECOND"),
+                "30 minutes",
+            ),
+            F.floor(F.col(value_col) / F.lit(bin_width))
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "series",
+            F.col("window.end").cast("timestamp_ntz").alias("bucket_ts"),
+            "bin",
+            "cnt",
+        )
+    )
