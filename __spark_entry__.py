@@ -2641,6 +2641,51 @@ def q_histogram_multi_q(spark, sf_dir):
     )
 
 
+def q_pack_manifest(spark, sf_dir):
+    """GPT-style sequence-packing manifest (sampling.pack_sequences):
+    per document, its token offset in the shard's concatenated stream
+    and the packs it starts/ends in under concat-then-split at
+    seq_len=512 — per-shard windows so the running sum never becomes a
+    global single-partition window. Pure integer div/mod; the oracle
+    is the same window arithmetic in SQL."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("n_tok"),
+    )
+    return pack_sequences(base, "doc_id", "n_tok", 512, "shard",
+                          ["doc_id"])
+
+
+def q_contamination_report(spark, sf_dir):
+    """Benchmark decontamination (dedup.contamination_report): every
+    17th document plays the held-out benchmark; the rest of the corpus
+    is scanned for 8-word shingle overlap. Per doc: distinct shingle
+    count, contaminated count, benchmark docs hit, contaminated
+    fraction — zero-overlap docs included so a downstream threshold
+    filter sees the whole corpus. The join key is a 16-hex md5 prefix
+    (slim + engine-portable); the oracle joins raw shingles."""
+    _prep(spark)
+    from isp_trace_parser_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    out = contamination_report(corpus, bench, n=8)
+    return out.select(
+        "doc_id", "n_shingles", "n_contaminated", "n_bench_docs",
+        _q("contamination_frac", 4).alias("contamination_frac"),
+    )
+
+
 def q_seasonal_profile(spark, sf_dir):
     """Weekly seasonality fingerprint (timeseries.seasonal_profile):
     mean value and sample count per (event_type, ISO weekday,
@@ -2693,6 +2738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": q_seasonal_profile,
         "histogram_multi_q": q_histogram_multi_q,
         "streaming_histogram_30m": q_streaming_histogram_30m,
+        "pack_manifest": q_pack_manifest,
+        "contamination_report": q_contamination_report,
         "tier_serving_distinct": q_tier_serving_distinct,
         "tier_serving_auto": q_tier_serving_auto,
         "tiered_retention": q_tiered_retention,
@@ -3422,6 +3469,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(value / 0.5) AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS cnt
         FROM events GROUP BY 1, 2, 3"""
+    sqls["pack_manifest"] = r"""
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                      AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, shard, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY shard
+                                          ORDER BY doc_id)
+                      - n_tokens AS BIGINT) AS token_offset
+          FROM t
+        )
+        SELECT doc_id, shard, n_tokens, token_offset,
+               token_offset // 512 AS start_pack,
+               (token_offset + greatest(n_tokens - 1, 0)) // 512
+                 AS end_pack,
+               token_offset % 512 AS offset_in_pack
+        FROM o"""
+    sqls["contamination_report"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ),
+        sh0 AS (
+          SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+7], ' ')
+                         for i in range(1, greatest(len(ws) - 7, 1) + 1)])
+                   AS sh
+          FROM w
+        ),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh <> ''),
+        d AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+        b AS (SELECT * FROM sh WHERE doc_id % 17 = 0),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM d GROUP BY 1),
+        hits AS (
+          SELECT d.doc_id, count(DISTINCT d.sh) AS n_cont,
+                 count(DISTINCT b.doc_id) AS n_bd
+          FROM d JOIN b ON d.sh = b.sh GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CAST(s.n_shingles AS BIGINT) AS n_shingles,
+               CAST(coalesce(n_cont, 0) AS BIGINT) AS n_contaminated,
+               CAST(coalesce(n_bd, 0) AS BIGINT) AS n_bench_docs,
+               round(CAST(coalesce(n_cont, 0) AS DOUBLE) / s.n_shingles,
+                     4) AS contamination_frac
+        FROM sizes s LEFT JOIN hits USING (doc_id)"""
     sqls["distinct_rollup_1d"] = f"""
         SELECT event_type AS series,
                {_bucket_sql("ts", SEC_1D)} AS bucket_ts,

@@ -104,3 +104,55 @@ def export_shards(
         df.withColumn(shard_col, shard)
         .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    shard_col: str,
+    order_cols: list[str | Column],
+) -> DataFrame:
+    """GPT-style pretraining sequence packing manifest: within each
+    shard, documents are concatenated in a deterministic order and the
+    token stream is split every ``seq_len`` tokens (documents may
+    straddle pack boundaries — the standard concat-then-split
+    convention). Emits per document its token offset in the shard
+    stream, the pack it starts in, the pack it ends in, and its offset
+    inside the start pack — everything a loader needs to materialize
+    pack ``k`` without scanning the shard.
+
+    Packing is PER SHARD (the window partitions on the shard key), so
+    the running token sum never becomes a single-partition global
+    window — shards are the parallelism unit at 100 TB exactly as in
+    :func:`export_shards`. Pure integer window arithmetic (`div`/`%`
+    on longs — exact at any stream length); no UDF; one exchange.
+    """
+    from pyspark.sql import Window
+
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    L = int(seq_len)
+    n = F.col(n_tokens_col).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        n.alias("n_tokens"),
+        (F.sum(n).over(w) - n).alias("token_offset"),
+    )
+    return base.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        "token_offset",
+        F.expr(f"token_offset div {L}").alias("start_pack"),
+        F.expr(
+            f"(token_offset + greatest(n_tokens - 1, 0)) div {L}"
+        ).alias("end_pack"),
+        (F.col("token_offset") % F.lit(L)).alias("offset_in_pack"),
+    )

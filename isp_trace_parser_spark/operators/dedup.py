@@ -499,3 +499,76 @@ def dedup_keep_canonical(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def _word_shingles(
+    df: DataFrame, text_col: str, n: int, id_col: str
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (normalized: trim +
+    lower + whitespace split — the engine's standard token rule)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("sh"))
+        .where(F.col("sh") != "")
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination scan — the training-data hygiene step
+    every pretraining pipeline runs before export: for each corpus
+    document, how many of its distinct word ``n``-gram shingles also
+    appear in the benchmark set, how many benchmark documents it hits,
+    and the contaminated fraction. Docs with zero overlap are included
+    (count 0), so a threshold filter downstream sees the whole corpus.
+
+    Shape: both sides shingle map-side, the join key is a 16-hex-char
+    md5 prefix of the shingle (slim, engine-portable) — the corpus'
+    text never enters the shuffle, and the benchmark side (distinct
+    (key, bench_id)) is tiny relative to the corpus, so Spark
+    broadcasts it. At 8-word shingles a 64-bit prefix collision is
+    ~2^-64 per pair — a false contaminated-shingle count, never a
+    missed one.
+    """
+    key = F.substring(F.md5(F.col("sh")), 1, 16)
+    d_sh = _word_shingles(docs, text_col, n, id_col).select(
+        id_col, key.alias("k")
+    )
+    b_sh = (
+        _word_shingles(benchmark, text_col, n, bench_id_col)
+        .select(key.alias("k"), F.col(bench_id_col).alias("_bid"))
+        .distinct()
+    )
+    sizes = d_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        d_sh.join(b_sh, "k")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("k").alias("n_contaminated"),
+            F.countDistinct("_bid").alias("n_bench_docs"),
+        )
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination_frac"),
+        )
+    )

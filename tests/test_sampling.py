@@ -98,3 +98,65 @@ def test_export_shards_stable_addresses(spark):
     assert set(a["shard"]) == set(range(8))
     for _, pos in g:
         assert sorted(pos) == list(range(len(pos)))
+
+
+def test_pack_sequences_straddle_and_shards(spark):
+    """Concat-then-split at seq_len=10 within each shard: offsets are
+    running sums in doc order, a 12-token doc starting at offset 4
+    straddles packs 0-1, and shards pack independently."""
+    from isp_trace_parser_spark.functions.sampling import pack_sequences
+
+    rows = [
+        # shard 0: tokens 4, 12, 3  -> offsets 0, 4, 16
+        (0, 0, 4), (1, 0, 12), (2, 0, 3),
+        # shard 1: tokens 25 -> offset 0, spans packs 0..2
+        (3, 1, 25),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n long")
+    got = {
+        r["doc_id"]: (r["token_offset"], r["start_pack"], r["end_pack"],
+                      r["offset_in_pack"])
+        for r in pack_sequences(df, "doc_id", "n", 10, "shard",
+                                ["doc_id"]).collect()
+    }
+    assert got[0] == (0, 0, 0, 0)
+    assert got[1] == (4, 0, 1, 4)    # straddles the pack boundary
+    assert got[2] == (16, 1, 1, 6)
+    assert got[3] == (0, 0, 2, 0)    # one doc spanning three packs
+    plan = (
+        pack_sequences(df, "doc_id", "n", 10, "shard", ["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1 and "EvalPython" not in plan, plan
+
+
+def test_contamination_report_crafted_overlap(spark):
+    """Doc 1 shares its full 2-gram set with the benchmark doc, doc 2
+    shares one shingle, doc 3 shares none — fractions and benchmark-hit
+    counts are exact; clean docs still appear with zeros."""
+    import pandas as pd
+
+    from isp_trace_parser_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "alpha beta gamma",          # shingles: 'alpha beta','beta gamma'
+            "zz beta gamma yy",          # shares 'beta gamma' only
+            "totally clean words here",
+        ],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["alpha beta gamma delta"],
+    }))
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"],
+                      r["n_bench_docs"], round(r["contamination_frac"], 4))
+        for r in contamination_report(corpus, bench, n=2).collect()
+    }
+    assert got[1] == (2, 2, 1, 1.0)
+    assert got[2] == (3, 1, 1, round(1 / 3, 4))
+    assert got[3] == (3, 0, 0, 0.0)
