@@ -81,10 +81,11 @@ HEADLINE = [
     "ewma_smooth",
     "crawl_schedule",
     # round-5 additions: mergeable cardinality tier, trailing-window
-    # anomaly scoring, weekly seasonality reduction
+    # anomaly scoring, weekly seasonality reduction, decontamination
     "distinct_rollup_1d",
     "zscore_anomalies",
     "seasonal_profile",
+    "contamination_report",
 ]
 
 
