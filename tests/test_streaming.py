@@ -306,3 +306,77 @@ def test_epoch_scope_normalized_and_legacy_rows(tmp_path):
     # and a differently-spelled recorded scope still matches
     spelled = FakeCat([{"epoch_id": 2, "epoch_scope": ck + "/"}])
     assert ingest_stream._committed_epochs(spelled, "t", norm(ck)) == {2}
+
+
+def test_streaming_histogram_lands_and_serves_percentiles(spark, tmp_path):
+    """Full live-dashboard loop: a stream maintains the 30m histogram
+    tier, foreachBatch lands it into the catalog as hist_30m
+    (day-partitioned, same layout the batch pipeline writes), and
+    TierStore.percentile serves p95 from it — equal to the percentile
+    rule applied to a direct batch histogram of the same rows."""
+    from pyspark.sql import functions as F
+
+    from isp_trace_parser_spark import synth
+    from isp_trace_parser_spark.operators.rollup import (
+        histogram_percentile,
+        histogram_tier,
+    )
+    from isp_trace_parser_spark.serving import TierStore
+    from isp_trace_parser_spark.sources.catalog import Catalog
+    from isp_trace_parser_spark.streaming.rollup_stream import (
+        streaming_histogram_30m,
+    )
+
+    src_dir = str(tmp_path / "src")
+    pages = synth.pages(spark, n_urls=5, n_slots=48 * 2, gap_pct=0).select(
+        "url", "warc_ts", "value"
+    )
+    pages.repartition(2).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    agg = streaming_histogram_30m(
+        spark.readStream.schema(schema).parquet(src_dir),
+        bin_width=0.5,
+    )
+
+    def _land(batch_df, epoch_id):
+        out = batch_df.withColumn(
+            "day_bucket",
+            F.to_date(F.col("bucket_ts") - F.expr("INTERVAL 1 SECOND")),
+        )
+        cat.write(
+            out, "hist_30m",
+            partition_by=["day_bucket"],
+            sort_within=["series", "bucket_ts", "bin"],
+            mode="append" if cat.exists("hist_30m") else "overwrite",
+            lineage={"stage": "streaming_hist", "epoch_id": epoch_id},
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_land)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        TierStore(cat)
+        .percentile(0.95, resolution="1d", bin_width=0.5)
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        histogram_percentile(
+            histogram_tier(pages, bucket_seconds=86400, bin_width=0.5),
+            0.95, bin_width=0.5,
+        )
+        .toPandas()
+        .sort_values(["series", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["estimate"] == want["estimate"]).all()
