@@ -537,9 +537,14 @@ def contamination_report(
     md5 prefix of the shingle (slim, engine-portable) — the corpus'
     text never enters the shuffle, and the benchmark side (distinct
     (key, bench_id)) is tiny relative to the corpus, so Spark
-    broadcasts it. At 8-word shingles a 64-bit prefix collision is
-    ~2^-64 per pair — a false contaminated-shingle count, never a
-    missed one.
+    broadcasts it. The corpus shingle stream is scanned ONCE: a single
+    LEFT join against the benchmark keys feeds one aggregation that
+    computes sizes, contaminated counts and benchmark-hit counts
+    together (count-distinct undoes the row multiplication a shingle
+    matching several benchmark docs causes) — not a sizes branch plus
+    a hits branch that would each recompute the shingling. At 8-word
+    shingles a 64-bit prefix collision is ~2^-64 per pair — a false
+    contaminated-shingle count, never a missed one.
     """
     key = F.substring(F.md5(F.col("sh")), 1, 16)
     d_sh = _word_shingles(docs, text_col, n, id_col).select(
@@ -550,25 +555,19 @@ def contamination_report(
         .select(key.alias("k"), F.col(bench_id_col).alias("_bid"))
         .distinct()
     )
-    sizes = d_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    hits = (
-        d_sh.join(b_sh, "k")
-        .groupBy(id_col)
-        .agg(
-            F.countDistinct("k").alias("n_contaminated"),
-            F.countDistinct("_bid").alias("n_bench_docs"),
-        )
-    )
-    return (
-        sizes.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_shingles",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
-            (
-                F.coalesce("n_contaminated", F.lit(0)).cast("double")
-                / F.col("n_shingles")
-            ).alias("contamination_frac"),
-        )
+    joined = d_sh.join(b_sh, "k", "left")
+    return joined.groupBy(id_col).agg(
+        F.countDistinct("k").alias("n_shingles"),
+        F.countDistinct(
+            F.when(F.col("_bid").isNotNull(), F.col("k"))
+        ).alias("n_contaminated"),
+        F.countDistinct("_bid").alias("n_bench_docs"),
+    ).select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        "n_bench_docs",
+        (
+            F.col("n_contaminated").cast("double") / F.col("n_shingles")
+        ).alias("contamination_frac"),
     )
