@@ -83,6 +83,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     max_doc_freq: int | str | None = "auto",
     n_docs: int | None = None,
+    materialize_tokens: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over token (n=1) or n-gram shingle sets.
 
@@ -108,6 +109,16 @@ def ngram_jaccard_pairs(
     separate eager job — VERDICT r4 #4). Pass an int cap to control it
     directly, or an EXPLICIT ``None`` to opt out into full exact
     semantics (small/verified corpora only).
+
+    ``materialize_tokens`` (default on): the capped token stream fans
+    out to FOUR consumers (set sizes + both self-join sides) and
+    Catalyst does not reuse the exchange across them (measured: zero
+    ReusedExchange even under AQE — each branch re-runs
+    scan+explode+distinct). A lazy ``localCheckpoint`` materializes it
+    once (measured 1.8x on the whole operator at sf0.1). Same
+    executor-loss trade as ``dedup_clusters``' iteration checkpoints:
+    lost checkpoint partitions fail the job instead of recomputing —
+    opt out for maximum fault-tolerance on very long runs.
     """
     lazy_auto_cap = max_doc_freq == "auto" and n_docs is None
     if max_doc_freq == "auto" and n_docs is not None:
@@ -144,6 +155,8 @@ def ngram_jaccard_pairs(
         else:
             dfreq = dfreq.where(F.col("_df") <= max_doc_freq)
         toks = toks.join(dfreq, "tok").select("doc_id", "tok")
+    if materialize_tokens:
+        toks = toks.localCheckpoint(eager=False)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")
