@@ -263,9 +263,18 @@ def minhash_lsh_pairs(
     bucket); full signatures are re-attached to the deduplicated pair
     list afterwards (two slim joins beat dragging 2 x num_perm longs
     through the candidate shuffle when buckets collide heavily).
+
+    The signature DF (the pandas-UDF CPU of the whole pipeline) has
+    THREE consumers (banding + both re-attach sides); ``cache()`` does
+    not dedupe them within one action (branches race the unfilled
+    cache — measured), so it is materialized with a lazy
+    ``localCheckpoint`` instead (1.45x on the operator at sf0.1; same
+    executor-loss trade as ``dedup_clusters``).
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, num_perm, shingle_n, seed).cache()
+    sigs = minhash_signatures(
+        df, text_col, num_perm, shingle_n, seed
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         F.explode(
