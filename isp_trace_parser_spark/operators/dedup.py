@@ -385,8 +385,16 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded by 16-bit
     chunks (pigeonhole: distance <= 3 => at least one of 4 chunks equal),
-    so the join is equi- not theta-."""
-    fps = simhash(df, text_col, token_hash=token_hash).cache()
+    so the join is equi- not theta-.
+
+    The fingerprint subtree is deliberately NOT materialized: it is
+    pure JVM aggregation (no pandas UDF), and A/B at sf0.1 shows
+    recomputing it for the self-join's two branches beats both cache()
+    (which doesn't dedupe within one action anyway and leaks storage)
+    and a local checkpoint (materialization I/O exceeds the recompute).
+    Contrast minhash_lsh_pairs, whose signature pass is Python-CPU-
+    bound and does win from checkpointing."""
+    fps = simhash(df, text_col, token_hash=token_hash)
     chunks = fps.select(
         "doc_id",
         "simhash",
