@@ -2464,6 +2464,46 @@ def q_curation_pipeline(spark, sf_dir):
     return per_lang_chunks.join(per_lang_tokens, "lang")
 
 
+def q_curation_pipeline_v2(spark, sf_dir):
+    """Round-5 curation capstone: exact dedup -> benchmark
+    DECONTAMINATION (contamination_report vs the held-out doc_id%17
+    subset, frac < 0.5 kept) -> min-length filter -> GPT-style
+    sequence PACKING (pack_sequences, shard = doc_id%4, seq_len 256)
+    -> per-shard export summary (docs, tokens, packs). Pins that the
+    round-5 training-data operators COMPOSE with the round-3 ones;
+    each piece is separately oracle-backed, this row hashes the whole
+    chain against one CTE oracle."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.sampling import pack_sequences
+    from isp_trace_parser_spark.functions.text import _tokens
+    from isp_trace_parser_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    canonical = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = docs.join(canonical, ["doc_id", "text"], "inner")
+    corpus = deduped.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    cr = contamination_report(corpus, bench, n=8)
+    clean = corpus.join(
+        cr.where(F.col("contamination_frac") < 0.5).select("doc_id"),
+        "doc_id",
+    )
+    toked = clean.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.size(_tokens(F.col("text"))).alias("n_tok"),
+    ).where(F.col("n_tok") >= 20)
+    packed = pack_sequences(toked, "doc_id", "n_tok", 256, "shard",
+                            ["doc_id"])
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.max("end_pack") + F.lit(1)).alias("n_packs"),
+    )
+
+
 def q_cold_tier_serving(spark, sf_dir):
     """Cold-tier serving end-to-end: the full pipeline (including the
     Gorilla block stage) lands events-as-pages, then the window is
@@ -2740,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_histogram_30m": q_streaming_histogram_30m,
         "pack_manifest": q_pack_manifest,
         "contamination_report": q_contamination_report,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "tier_serving_distinct": q_tier_serving_distinct,
         "tier_serving_auto": q_tier_serving_auto,
         "tiered_retention": q_tiered_retention,
@@ -3518,6 +3559,51 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(coalesce(n_cont, 0) AS DOUBLE) / s.n_shingles,
                      4) AS contamination_frac
         FROM sizes s LEFT JOIN hits USING (doc_id)"""
+    sqls["curation_pipeline_v2"] = r"""
+        WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY text),
+        docs2 AS (SELECT d.* FROM documents d JOIN dd USING (doc_id)),
+        corpus AS (SELECT * FROM docs2 WHERE doc_id % 17 <> 0),
+        w AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+              FROM corpus),
+        sh0 AS (SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+7], ' ')
+                               for i in range(1, greatest(len(ws) - 7, 1)
+                                              + 1)]) AS sh
+                FROM w),
+        dsh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh <> ''),
+        bw AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+               FROM documents WHERE doc_id % 17 = 0),
+        bsh0 AS (SELECT unnest([array_to_string(ws[i:i+7], ' ')
+                                for i in range(1, greatest(len(ws) - 7, 1)
+                                               + 1)]) AS sh
+                 FROM bw),
+        bsh AS (SELECT DISTINCT sh FROM bsh0 WHERE sh <> ''),
+        contam AS (SELECT d.doc_id, count(*) AS n_sh,
+                          count(CASE WHEN b.sh IS NOT NULL THEN 1 END)
+                            AS n_cont
+                   FROM dsh d LEFT JOIN bsh b USING (sh) GROUP BY 1),
+        clean AS (SELECT doc_id FROM contam
+                  WHERE CAST(n_cont AS DOUBLE) / n_sh < 0.5),
+        tok AS (SELECT c.doc_id, c.doc_id % 4 AS shard,
+                       CAST(len(regexp_split_to_array(trim(lower(c.text)),
+                                                      '\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM corpus c JOIN clean USING (doc_id)
+                WHERE len(regexp_split_to_array(trim(lower(c.text)),
+                                                '\s+')) >= 20),
+        o AS (SELECT doc_id, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard
+                                              ORDER BY doc_id)
+                          - n_tokens AS BIGINT) AS off
+              FROM tok)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(max((off + greatest(n_tokens - 1, 0)) // 256) + 1
+                    AS BIGINT) AS n_packs
+        FROM o GROUP BY shard"""
     sqls["distinct_rollup_1d"] = f"""
         SELECT event_type AS series,
                {_bucket_sql("ts", SEC_1D)} AS bucket_ts,
