@@ -48,6 +48,25 @@ def _date_str(d: datetime.date) -> str:
     return d.strftime("%Y-%m-%d")
 
 
+def retention_plan(
+    cat: Catalog,
+    policy: RetentionPolicy,
+    now: datetime.datetime,
+    raw_table: str = "pages",
+    t30_table: str = "agg_30m",
+    t1d_table: str = "agg_1d",
+) -> dict[str, Any]:
+    """DRY RUN of :func:`apply_retention`: the exact per-table
+    partition lists a retention pass at ``now`` WOULD expire, without
+    dropping anything — the operator's pre-flight check before an
+    irreversible partition drop (and the input to capacity planning:
+    bytes reclaimed = sum of the listed partitions' snapshot sizes).
+    Pure metadata: O(partitions) listing, no data scan."""
+    return _retention_targets(
+        cat, policy, now, raw_table, t30_table, t1d_table
+    )
+
+
 def apply_retention(
     cat: Catalog,
     policy: RetentionPolicy,
@@ -59,6 +78,27 @@ def apply_retention(
     """Expire partitions older than each tier's horizon. ``now`` is an
     explicit argument (no wall-clock reads) so runs are reproducible and
     testable. Returns {table: [dropped partition values]}."""
+    targets = _retention_targets(
+        cat, policy, now, raw_table, t30_table, t1d_table
+    )
+    for table, old in targets.items():
+        if old:
+            col = (
+                "month_bucket" if table in (t1d_table, "hist_1d", "dist_1d")
+                else "day_bucket"
+            )
+            cat.expire_partitions(table, col, old)
+    return targets
+
+
+def _retention_targets(
+    cat: Catalog,
+    policy: RetentionPolicy,
+    now: datetime.datetime,
+    raw_table: str,
+    t30_table: str,
+    t1d_table: str,
+) -> dict[str, Any]:
     report: dict[str, Any] = {}
 
     raw_cutoff = _date_str((now - datetime.timedelta(days=policy.raw_keep_days)).date())
@@ -81,8 +121,7 @@ def apply_retention(
         if not cat.exists(table):
             report[table] = []
             continue
-        old = [v for v in cat.list_partitions(table, col) if v < cutoff]
-        if old:
-            cat.expire_partitions(table, col, old)
-        report[table] = old
+        report[table] = [
+            v for v in cat.list_partitions(table, col) if v < cutoff
+        ]
     return report

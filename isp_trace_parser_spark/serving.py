@@ -215,6 +215,37 @@ class TierStore:
             " — run the pipeline with histogram_bin_width set"
         )
 
+    def percentiles(
+        self,
+        qs: list[float],
+        series: str | list[str] | None = None,
+        start: datetime.datetime | None = None,
+        end: datetime.datetime | None = None,
+        resolution: str = "30m",
+        bin_width: float = 0.5,
+    ) -> DataFrame:
+        """Several percentiles (e.g. p50/p95/p99) per (series, bucket)
+        in ONE pass over the routed histogram tier — same routing,
+        pruning and cascade as :meth:`percentile`, but the per-q
+        answers share the cumulative window
+        (``rollup.histogram_percentiles``). Long output:
+        (series, bucket_ts, q, bin, estimate)."""
+        res_s = resolution_seconds(resolution)
+        for table, tier_s, part_col in self.HIST_TIERS:
+            if res_s % tier_s == 0 and self.cat.exists(table):
+                hist = self._slice(
+                    self.cat.read(table), series, start, end, part_col
+                )
+                if res_s != tier_s:
+                    hist = rollup.histogram_cascade(
+                        hist.drop(part_col), res_s
+                    )
+                return rollup.histogram_percentiles(hist, qs, bin_width)
+        raise ValueError(
+            f"no stored histogram tier divides resolution {resolution!r}"
+            " — run the pipeline with histogram_bin_width set"
+        )
+
     # HLL cardinality tiers (pipeline distinct_key): same routing; the
     # coarser resolution is a lossless sketch UNION
     DIST_TIERS = [

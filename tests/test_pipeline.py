@@ -214,3 +214,41 @@ def test_partitioned_bucketed_reregister(spark, tmp_path):
     assert back.count() == n1
     agg = back.groupBy("series").agg(F.sum("cnt_value").alias("n"))
     assert agg._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
+
+
+def test_retention_plan_is_dry_run(spark, tmp_path):
+    """retention_plan reports exactly what apply_retention would drop,
+    and drops nothing itself."""
+    import datetime
+
+    from isp_trace_parser_spark import synth
+    from isp_trace_parser_spark.operators.retention import (
+        RetentionPolicy,
+        apply_retention,
+        retention_plan,
+    )
+    from isp_trace_parser_spark.pipeline import (
+        ingest_pages,
+        run_rollup_pipeline,
+    )
+    from isp_trace_parser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    pages = synth.pages(spark, n_urls=4, n_slots=48 * 10, gap_pct=0).select(
+        "url", "warc_ts", "value"
+    )
+    ingest_pages(cat, pages)
+    run_rollup_pipeline(spark, cat, encode_blocks=False)
+    now = pages.agg({"warc_ts": "max"}).collect()[0][0]
+    policy = RetentionPolicy(raw_keep_days=3, t30_keep_days=6)
+    plan = retention_plan(cat, policy, now)
+    n_raw_before = len(cat.list_partitions("pages", "day_bucket"))
+    assert len(plan["pages"]) > 0  # something would expire
+    # dry run dropped nothing
+    assert len(cat.list_partitions("pages", "day_bucket")) == n_raw_before
+    # the real pass drops exactly the planned set
+    dropped = apply_retention(cat, policy, now)
+    assert dropped == plan
+    assert len(cat.list_partitions("pages", "day_bucket")) == (
+        n_raw_before - len(plan["pages"])
+    )

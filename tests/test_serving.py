@@ -336,3 +336,32 @@ def test_series_auto_resolution_choice(spark, store):
     assert res4 == "28d"
     with pytest.raises(ValueError, match="after start"):
         TierStore(cat).series_auto(end, start)
+
+
+def test_percentiles_multi_q_serving(spark, store):
+    """Multi-q serving shares the routed tier read: per-q answers equal
+    the single-q route's."""
+    cat, pages = store
+    ts0 = pages.agg(F.min("warc_ts")).first()[0]
+    start = ts0.replace(hour=0, minute=0, second=0) + datetime.timedelta(days=1)
+    end = start + datetime.timedelta(days=1)
+    multi = (
+        TierStore(cat)
+        .percentiles([0.5, 0.95], start=start, end=end, resolution="2h")
+        .toPandas()
+    )
+    for q in (0.5, 0.95):
+        single = (
+            TierStore(cat)
+            .percentile(q, start=start, end=end, resolution="2h")
+            .toPandas()
+            .set_index(["series", "bucket_ts"])["estimate"]
+            .sort_index()
+        )
+        sub = (
+            multi[multi["q"] == q]
+            .set_index(["series", "bucket_ts"])["estimate"]
+            .sort_index()
+        )
+        assert len(sub) == len(single) > 0
+        assert (sub == single).all()
