@@ -2703,6 +2703,32 @@ def q_pack_manifest(spark, sf_dir):
                           ["doc_id"])
 
 
+def q_pack_read_plan(spark, sf_dir):
+    """Loader-side inverse of the packing manifest
+    (sampling.pack_read_plan): per (shard, pack), the exact half-open
+    token slice of each contributing document — what a trainer reads
+    to materialize pack k without scanning the shard. Shuffle-free
+    projection of the manifest (sequence-explode + integer min/max);
+    oracle is the same arithmetic via a range comprehension."""
+    _prep(spark)
+    from isp_trace_parser_spark.functions.sampling import (
+        pack_read_plan,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("n_tok"),
+    )
+    manifest = pack_sequences(base, "doc_id", "n_tok", 512, "shard",
+                              ["doc_id"])
+    return pack_read_plan(manifest, 512)
+
+
 def q_contamination_report(spark, sf_dir):
     """Benchmark decontamination (dedup.contamination_report): every
     17th document plays the held-out benchmark; the rest of the corpus
@@ -2779,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_multi_q": q_histogram_multi_q,
         "streaming_histogram_30m": q_streaming_histogram_30m,
         "pack_manifest": q_pack_manifest,
+        "pack_read_plan": q_pack_read_plan,
         "contamination_report": q_contamination_report,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "tier_serving_distinct": q_tier_serving_distinct,
@@ -3530,6 +3557,34 @@ def oracle_sql() -> dict[str, str]:
                  AS end_pack,
                token_offset % 512 AS offset_in_pack
         FROM o"""
+    sqls["pack_read_plan"] = r"""
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                      AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, shard, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY shard
+                                          ORDER BY doc_id)
+                      - n_tokens AS BIGINT) AS token_offset
+          FROM t
+        ),
+        e AS (
+          SELECT doc_id, shard, n_tokens, token_offset,
+                 unnest([k for k in range(token_offset // 512,
+                                          (token_offset
+                                           + greatest(n_tokens - 1, 0))
+                                          // 512 + 1)]) AS pack
+          FROM o
+        )
+        SELECT shard, pack, doc_id,
+               greatest(pack * 512 - token_offset, 0) AS doc_from,
+               least(n_tokens, pack * 512 - token_offset + 512) AS doc_to
+        FROM e
+        WHERE least(n_tokens, pack * 512 - token_offset + 512)
+              > greatest(pack * 512 - token_offset, 0)"""
     sqls["contamination_report"] = r"""
         WITH w AS (
           SELECT doc_id,

@@ -156,3 +156,46 @@ def pack_sequences(
         ).alias("end_pack"),
         (F.col("token_offset") % F.lit(L)).alias("offset_in_pack"),
     )
+
+
+def pack_read_plan(
+    manifest: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Loader-side inverse of :func:`pack_sequences`: from the packing
+    manifest, the exact (doc, token-slice) list each pack needs —
+    ``(shard, pack, doc_id, doc_from, doc_to)`` with ``[doc_from,
+    doc_to)`` the half-open token range of the document that lands in
+    that pack. A trainer materializing pack ``k`` reads just these
+    slices, in (pack, token_offset) order, and never scans the shard.
+
+    One ``sequence``-explode per document over its ``start_pack ..
+    end_pack`` span (documents span ``n_tokens/seq_len + 1`` packs on
+    average, so the fan-out is ~(1 + tokens/L) rows per doc) and pure
+    integer arithmetic; no shuffle at all — the plan is a projection
+    of the manifest.
+    """
+    L = int(seq_len)
+    k = F.col("pack")
+    lo = k * L - F.col("token_offset")
+    return (
+        manifest.select(
+            F.col(shard_col),
+            F.col(id_col),
+            "token_offset",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.col("start_pack"), F.col("end_pack"))
+            ).alias("pack"),
+        )
+        .select(
+            shard_col,
+            "pack",
+            id_col,
+            F.greatest(lo, F.lit(0)).alias("doc_from"),
+            F.least(F.col("n_tokens"), lo + L).alias("doc_to"),
+        )
+        .where(F.col("doc_to") > F.col("doc_from"))
+    )

@@ -160,3 +160,54 @@ def test_contamination_report_crafted_overlap(spark):
     assert got[1] == (2, 2, 1, 1.0)
     assert got[2] == (3, 1, 1, round(1 / 3, 4))
     assert got[3] == (3, 0, 0, 0.0)
+
+
+def test_pack_read_plan_covers_every_token_exactly_once(spark):
+    """Completeness invariant of the loader plan: within each shard,
+    every pack's slices sum to exactly seq_len tokens (the final
+    partial pack to the remainder), every doc's slices cover [0, n)
+    without overlap, and the plan is shuffle-free."""
+    import numpy as np
+
+    from isp_trace_parser_spark.functions.sampling import (
+        pack_read_plan,
+        pack_sequences,
+    )
+
+    rows = [(i, i % 3, 1 + (i * 37) % 23) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n long")
+    L = 16
+    manifest = pack_sequences(df, "doc_id", "n", L, "shard", ["doc_id"])
+    plan = pack_read_plan(manifest, L)
+    pdf = plan.toPandas()
+    pdf["len"] = pdf["doc_to"] - pdf["doc_from"]
+    # per (shard, pack): full packs carry exactly L tokens
+    per_pack = pdf.groupby(["shard", "pack"])["len"].sum()
+    totals = {s: sum(n for i, sh, n in rows if sh == s) for s in (0, 1, 2)}
+    for (s, k), tot in per_pack.items():
+        n_packs = -(-totals[s] // L)
+        if k < n_packs - 1:
+            assert tot == L, (s, k, tot)
+        else:
+            assert tot == totals[s] - (n_packs - 1) * L
+    # per doc: slices tile [0, n) exactly
+    for (_s, d), grp in pdf.groupby(["shard", "doc_id"]):
+        g = grp.sort_values("pack")
+        n = dict((i, n) for i, _sh, n in rows)[d]
+        assert g.iloc[0]["doc_from"] == 0 and g.iloc[-1]["doc_to"] == n
+        assert (g["doc_from"].to_numpy()[1:]
+                == g["doc_to"].to_numpy()[:-1]).all()
+    # shuffle-free beyond the manifest's own exchange(s): the read plan
+    # adds NO exchange to the manifest plan (counted on the same
+    # pre-execution plans so AQE stage rewrites don't skew the compare)
+    n_manifest = (
+        pack_sequences(df, "doc_id", "n", L, "shard", ["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    )
+    n_plan = (
+        pack_read_plan(
+            pack_sequences(df, "doc_id", "n", L, "shard", ["doc_id"]), L
+        )
+        ._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    )
+    assert n_plan == n_manifest, (n_plan, n_manifest)
