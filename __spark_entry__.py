@@ -2805,7 +2805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_multi_q": q_histogram_multi_q,
         "streaming_histogram_30m": q_streaming_histogram_30m,
         "pack_manifest": q_pack_manifest,
-        "pack_read_plan": q_pack_read_plan,
         "contamination_report": q_contamination_report,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "tier_serving_distinct": q_tier_serving_distinct,
@@ -2885,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "parse_demand_csv": q_parse_demand_csv,
         "parse_demand_cross": q_parse_demand_cross,
+        "pack_read_plan": q_pack_read_plan,
     }
 
 
