@@ -257,67 +257,171 @@ def minhash_lsh_pairs(
     agreement. rows-per-band r = num_perm / bands sets the S-curve
     midpoint ~ (1/bands)^(1/r); the default (b=16, r=8) centers near
     0.7 — the near-dup operating point. Only same-bucket pairs are
-    joined — the whole point at 10^12 docs.
+    compared — the whole point at 10^12 docs.
 
-    Shuffle hygiene: the band self-join carries ONLY (doc_id, band,
-    bucket); full signatures are re-attached to the deduplicated pair
-    list afterwards (two slim joins beat dragging 2 x num_perm longs
-    through the candidate shuffle when buckets collide heavily).
+    Pair verification happens INSIDE each (band, bucket) group with
+    vectorized numpy (one ``mapInPandas`` pass over bucket-clustered
+    signatures), not by re-attaching signatures to a materialized
+    candidate-pair list: a near-dup cluster of g docs puts g rows in a
+    bucket but g^2/2 pairs in the pair list, so at any realistic dup
+    rate the pair list is orders of magnitude bigger than the banded
+    signature stream (measured at bench sf1.0: 55M distinct candidate
+    pairs from 800k banded rows — the r5 join-based verify shuffled
+    2 x num_perm longs per PAIR and ran a 128-element interpreted
+    ``zip_with`` per pair; the bucket-local verify moves each
+    signature once per band and compares in numpy at memory speed,
+    ~10x on the operator, see OPTIMIZATION_r06.md). Only pairs that
+    SURVIVE the threshold reach the final distinct — sub-threshold
+    candidates never enter a shuffle.
 
-    The signature DF (the pandas-UDF CPU of the whole pipeline) has
-    THREE consumers (banding + both re-attach sides); ``cache()`` does
-    not dedupe them within one action (branches race the unfilled
-    cache — measured), so it is materialized with a lazy
-    ``localCheckpoint`` instead (1.45x on the operator at sf0.1; same
-    executor-loss trade as ``dedup_clusters``).
+    Buckets with a single member generate no pairs, so they are
+    dropped before the verify shuffle via a slim (band, bucket)
+    count + broadcast semi-join — at low dup rates that is >80% of
+    the banded stream that never moves (guide: shuffle fewer bytes).
+
+    The signature DF (the pandas-UDF CPU of the pipeline) now has TWO
+    consumers (the multi-bucket filter + the verify stream); the lazy
+    ``localCheckpoint`` materializes it once (``cache()`` does not
+    dedupe branches within one action — branches race the unfilled
+    cache, measured; same executor-loss trade as ``dedup_clusters``).
     """
     rows = num_perm // bands
     sigs = minhash_signatures(
         df, text_col, num_perm, shingle_n, seed
     ).localCheckpoint(eager=False)
+    # bucket = xxhash64 over the band's ROW VALUES as hash arguments —
+    # no array->string formatting per band (measured: the string cast
+    # built a ~150-char formatted list per (doc, band) just to feed the
+    # hash). Bucket values are internal grouping keys only; candidate
+    # semantics (pairs sharing a band bucket) are unchanged modulo
+    # astronomically-rare hash collisions, same as the oracle's
+    # band-slice equality.
     banded = sigs.select(
         "doc_id",
+        "signature",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
                         F.xxhash64(
-                            F.slice(F.col("signature"), i * rows + 1, rows).cast("string")
+                            *[
+                                F.element_at(
+                                    F.col("signature"), i * rows + r + 1
+                                )
+                                for r in range(rows)
+                            ]
                         ).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .dropDuplicates(["d1", "d2"])
+    # singleton buckets can't pair: keep only (band, bucket) groups with
+    # >= 2 members. The count side is slim (two longs per banded row)
+    # and tiny after the filter, so it broadcasts.
+    multi = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("band", "bucket")
     )
-    s1 = sigs.selectExpr("doc_id as d1", "signature as s1")
-    s2 = sigs.selectExpr("doc_id as d2", "signature as s2")
-    est = (
-        cands.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn(
-            "est_jaccard",
-            F.aggregate(
-                F.zip_with("s1", "s2", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(num_perm),
-        )
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
+    arranged = (
+        banded.join(F.broadcast(multi), ["band", "bucket"])
+        .repartition(n_parts, "band", "bucket")
+        .sortWithinPartitions("band", "bucket")
     )
-    return est.where(F.col("est_jaccard") >= threshold).select(
-        "d1", "d2", "est_jaccard"
+
+    def _verify(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        thr = threshold
+        perms = num_perm
+
+        def _group_pairs(ids, sig_mat, out):
+            g = len(ids)
+            if g < 2:
+                return
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            sig_mat = sig_mat[order]
+            # row-block compare: each left row against all rows below it
+            # — bounded memory (one g x num_perm slice live at a time)
+            for i in range(g - 1):
+                agree = (sig_mat[i + 1 :] == sig_mat[i]).sum(axis=1)
+                est = agree / perms
+                m = est >= thr
+                if m.any():
+                    out[0].append(np.full(int(m.sum()), ids[i]))
+                    out[1].append(ids[i + 1 :][m])
+                    out[2].append(est[m])
+
+        def _flush(ids, sig_mat, band, bucket):
+            change = np.empty(len(ids), dtype=bool)
+            change[0] = True
+            change[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+            bounds = np.flatnonzero(change)
+            out: tuple[list, list, list] = ([], [], [])
+            for s, e in zip(bounds, np.append(bounds[1:], len(ids))):
+                _group_pairs(ids[s:e], sig_mat[s:e], out)
+            if out[0]:
+                return pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out[0]), pa.int64()),
+                        pa.array(np.concatenate(out[1]), pa.int64()),
+                        pa.array(np.concatenate(out[2]), pa.float64()),
+                    ],
+                    ["d1", "d2", "est_jaccard"],
+                )
+            return None
+
+        carry = None  # (ids, sig_mat, band, bucket) of the held-back group
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            # list<int64> signatures: one contiguous values buffer — a
+            # zero-copy reshape, no per-cell object materialization
+            # (this is why mapInArrow, not mapInPandas)
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            sig_mat = np.asarray(
+                batch.column("signature").flatten(), dtype=np.int64
+            ).reshape(n, perms)
+            band = np.asarray(batch.column("band"))
+            bucket = np.asarray(batch.column("bucket"))
+            if carry is not None:
+                ids = np.concatenate([carry[0], ids])
+                sig_mat = np.vstack([carry[1], sig_mat])
+                band = np.concatenate([carry[2], band])
+                bucket = np.concatenate([carry[3], bucket])
+                carry = None
+            # hold back the last (band, bucket) group: it may continue in
+            # the next Arrow batch of this partition
+            tail = (band == band[-1]) & (bucket == bucket[-1])
+            cut = len(ids) - int(tail.sum())
+            carry = (ids[cut:], sig_mat[cut:], band[cut:], bucket[cut:])
+            if cut:
+                res = _flush(ids[:cut], sig_mat[:cut], band[:cut], bucket[:cut])
+                if res is not None:
+                    yield res
+        if carry is not None and len(carry[0]):
+            res = _flush(*carry)
+            if res is not None:
+                yield res
+
+    est = arranged.mapInArrow(
+        _verify, "d1 long, d2 long, est_jaccard double"
     )
+    # a surviving pair appears once per shared band — distinct keeps one
+    return est.dropDuplicates(["d1", "d2"])
 
 
 # --------------------------------------------------------------- simhash
