@@ -635,21 +635,46 @@ def dedup_keep_canonical(
     return docs.join(losers, id_col, "left_anti")
 
 
-def _word_shingles(
+def _word_shingle_keys(
     df: DataFrame, text_col: str, n: int, id_col: str
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document (normalized: trim +
-    lower + whitespace split — the engine's standard token rule)."""
+    """64-bit keys of the word n-gram shingles per document (normalized:
+    trim + lower + whitespace split — the engine's standard token rule).
+    NOT deduplicated — downstream consumers count DISTINCT keys, so a
+    pre-distinct would only add a shuffle.
+
+    Two measured rules (OPTIMIZATION_r06.md):
+
+    - The words array is PROJECTED before the shingle ``transform``:
+      an expression referenced inside a higher-order lambda is
+      re-evaluated per lambda call, so leaving ``split(trim(lower(..)))``
+      inline re-split every document once PER SHINGLE (6.6x on the
+      shingle stage alone).
+    - The key is ``xxhash64`` of the slice ARRAY itself — no per-shingle
+      string build, no md5. Join/count semantics only need a
+      collision-resistant 64-bit key (the r5 md5-16-hex prefix was the
+      same 64 bits at ~3x the per-shingle cost). Word arrays are
+      space-join-injective (split tokens contain no whitespace), so
+      key equality == shingle-string equality modulo ~2^-64 collisions,
+      identical to the r5 risk class.
+
+    The r5 string path filtered empty shingles (``sh != ''``), which
+    only arise for empty/whitespace-only (or null) texts — the array
+    path keeps that contract with one doc-level filter, preserving the
+    documented behavior that shingle-less docs are absent from the
+    report."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    base = df.select(F.col(id_col), words.alias("_ws")).where(
+        F.col(text_col).isNotNull()
     )
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("sh"))
-        .where(F.col("sh") != "")
-        .distinct()
+    ws = F.col("_ws")
+    keys = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.slice(ws, i + 1, n)),
     )
+    return base.where(
+        ~((F.size(ws) == 1) & (F.element_at(ws, 1) == ""))
+    ).select(F.col(id_col), F.explode(keys).alias("k"))
 
 
 def contamination_report(
@@ -667,35 +692,36 @@ def contamination_report(
     and the contaminated fraction. Docs with zero overlap are included
     (count 0), so a threshold filter downstream sees the whole corpus.
 
-    Shape: both sides shingle map-side, the join key is a 16-hex-char
-    md5 prefix of the shingle (slim, engine-portable) — the corpus'
-    text never enters the shuffle, and the benchmark side (distinct
-    (key, bench_id)) is tiny relative to the corpus, so Spark
-    broadcasts it. The corpus shingle stream is scanned ONCE: a single
-    LEFT join against the benchmark keys feeds one aggregation that
-    computes sizes, contaminated counts and benchmark-hit counts
-    together (count-distinct undoes the row multiplication a shingle
-    matching several benchmark docs causes) — not a sizes branch plus
-    a hits branch that would each recompute the shingling. At 8-word
-    shingles a 64-bit prefix collision is ~2^-64 per pair — a false
-    contaminated-shingle count, never a missed one.
+    Shape: both sides shingle map-side into slim 64-bit keys
+    (:func:`_word_shingle_keys`) — the corpus' text never enters any
+    shuffle. The benchmark side is pre-grouped per key into its
+    distinct bench-doc-id set (tiny relative to the corpus, so Spark
+    broadcasts it); the corpus stream is deduplicated per (doc, key)
+    and LEFT-joined once, so the join is 1:1 — no row multiplication,
+    and the final per-doc aggregation needs NO multi-count-distinct
+    Expand (measured: the r5 3x countDistinct expanded every joined
+    row threefold; sizes and contaminated counts are now plain counts
+    over the per-key-distinct rows and the benchmark-hit count is the
+    distinct size of the concatenated per-key id sets). A 64-bit key
+    collision is ~2^-64 per pair — a false contaminated-shingle count,
+    never a missed one (same risk class as the r5 md5-64-bit prefix).
     """
-    key = F.substring(F.md5(F.col("sh")), 1, 16)
-    d_sh = _word_shingles(docs, text_col, n, id_col).select(
-        id_col, key.alias("k")
+    d_dist = _word_shingle_keys(docs, text_col, n, id_col).dropDuplicates(
+        [id_col, "k"]
     )
-    b_sh = (
-        _word_shingles(benchmark, text_col, n, bench_id_col)
-        .select(key.alias("k"), F.col(bench_id_col).alias("_bid"))
-        .distinct()
+    b_gr = (
+        _word_shingle_keys(benchmark, text_col, n, bench_id_col)
+        .select("k", F.col(bench_id_col).alias("_bid"))
+        .groupBy("k")
+        .agg(F.collect_set("_bid").alias("_bids"))
     )
-    joined = d_sh.join(b_sh, "k", "left")
+    joined = d_dist.join(b_gr, "k", "left")
     return joined.groupBy(id_col).agg(
-        F.countDistinct("k").alias("n_shingles"),
-        F.countDistinct(
-            F.when(F.col("_bid").isNotNull(), F.col("k"))
-        ).alias("n_contaminated"),
-        F.countDistinct("_bid").alias("n_bench_docs"),
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_bids").alias("n_contaminated"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("_bids")))
+        ).cast("long").alias("n_bench_docs"),
     ).select(
         id_col,
         "n_shingles",
