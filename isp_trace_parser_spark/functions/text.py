@@ -178,15 +178,19 @@ def top_bigram_fraction(text: Column) -> Column:
     projection (the explode+groupBy formulation shuffles the corpus)."""
     toks = _tokens(text)
     n = F.size(toks)
-    # element_at is 1-based; sequence(1, n-1) pairs token i with i+1.
-    # Guarded: sequence(1, 0) would generate DESCENDING [1, 0].
+    # zip the token list with itself shifted by one — the lambda binds
+    # only its element arguments, never the outer `toks` expression: an
+    # outer expression referenced INSIDE a higher-order lambda is
+    # re-evaluated per element (the doc would be re-split once per
+    # bigram, O(n^2) in doc length — measured 5x at 500-word docs and
+    # unbounded beyond; OPTIMIZATION_r06.md). Guarded: slice with a
+    # negative length is only evaluated on the n >= 2 branch.
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     # max multiplicity = longest equal run in the SORTED bigram list —
@@ -248,7 +252,14 @@ def chunk_documents(
         raise ValueError("overlap must be < chunk_tokens")
     id_cols = id_cols or ["doc_id"]
     stride = chunk_tokens - overlap
-    toks = _tokens(F.col(text_col))
+    # tokens are PROJECTED to a bound column before the chunk lambda:
+    # an outer expression referenced inside a higher-order lambda is
+    # re-evaluated per element, so the inline `_tokens(...)` would
+    # re-split the document once per chunk (and twice per chunk for the
+    # two slice() references) — a bound attribute is just a row-field
+    # read (OPTIMIZATION_r06.md).
+    base = df.select(*id_cols, _tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     extra = F.greatest(n - chunk_tokens, F.lit(0))
     n_chunks = (
@@ -266,4 +277,4 @@ def chunk_documents(
             .alias("chunk_n_tokens"),
         ),
     )
-    return df.select(*id_cols, F.inline(chunks))
+    return base.select(*id_cols, F.inline(chunks))

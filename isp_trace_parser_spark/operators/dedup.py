@@ -126,14 +126,22 @@ def ngram_jaccard_pairs(
     if n == 1:
         toks = tokenize(df, text_col)
     else:
-        words = F.split(F.lower(F.col(text_col)), r"\s+")
-        # n-gram shingles via transform over a sliding index range
+        # words PROJECTED before the shingle lambda: an outer
+        # expression referenced inside a higher-order lambda is
+        # re-evaluated per element — inline, the doc would be re-split
+        # once per shingle (OPTIMIZATION_r06.md, same fix as
+        # _word_shingle_keys)
+        base = df.select(
+            "doc_id",
+            F.split(F.lower(F.col(text_col)), r"\s+").alias("_ws"),
+        )
+        ws = F.col("_ws")
         shingles = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
         )
         toks = (
-            df.select("doc_id", F.explode(shingles).alias("tok"))
+            base.select("doc_id", F.explode(shingles).alias("tok"))
             .where(F.col("tok") != "")
             .distinct()
         )
