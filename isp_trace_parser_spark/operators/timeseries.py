@@ -419,6 +419,20 @@ def zscore_anomalies(
     textbook formula's cancellation risk is bounded by the decimal
     exactness of both sums. Threshold-boundary rows therefore never
     flip between engines — the property the oracle hash requires.
+
+    The trailing-frame sums are computed as CUMULATIVE sums differenced
+    via ``lag`` (frame sum over (i-k, i-1] == C(i-1) - C(i-k-1)), not
+    as a ``rowsBetween(-k, -1)`` sliding frame: Spark re-aggregates the
+    ENTIRE frame for every output row (sliding frames are not
+    incremental), so the sliding form costs k decimal adds per row —
+    measured 3.6x slower at k=48 (OPTIMIZATION_r06.md). Decimal
+    addition is exact, so the difference of exact cumulative sums IS
+    the exact frame sum; the cumulative running-sum input is widened
+    one step (decimal(p,s) -> decimal(p+10,s), still exact) so the
+    longer accumulation keeps at least the sliding frame's overflow
+    headroom. Rows whose frame semantics could differ (empty or
+    all-null frames) carry n < lookback and are dropped by the filter
+    either way.
     """
     v0 = F.col(value_col)
     if sum_cast:
@@ -429,24 +443,66 @@ def zscore_anomalies(
         F.col(tiebreak_col).alias("_tb"),
         v0.alias("_v"),
     )
-    w = (
-        Window.partitionBy("series")
-        .orderBy("ts", "_tb")
-        .rowsBetween(-lookback, -1)
+    # square once per row, not once per frame membership (the window
+    # would otherwise re-evaluate the multiply on every frame add)
+    base = base.withColumn("_v2", F.col("_v") * F.col("_v"))
+    if sum_cast:
+        # one widening step of exact headroom for the running sums
+        # (matches Spark's own sum-result widening rule p -> p+10)
+        from pyspark.sql.types import DecimalType
+
+        vt = base.schema["_v"].dataType
+        v2t = base.schema["_v2"].dataType
+        if isinstance(vt, DecimalType):
+            base = base.withColumn(
+                "_v",
+                F.col("_v").cast(
+                    DecimalType(min(38, vt.precision + 10), vt.scale)
+                ),
+            )
+        if isinstance(v2t, DecimalType):
+            base = base.withColumn(
+                "_v2",
+                F.col("_v2").cast(
+                    DecimalType(min(38, v2t.precision + 10), v2t.scale)
+                ),
+            )
+    order = (
+        Window.partitionBy("series").orderBy("ts", "_tb")
     )
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c1 = F.sum("_v").over(cum)
+    c2 = F.sum("_v2").over(cum)
+    cn = F.count("_v").over(cum)
+    k = int(lookback)
+    zero1 = F.lit(0).cast("decimal(1,0)")
     scored = base.select(
         "series",
         "ts",
         F.col("_v").cast("double").alias("value"),
-        F.sum("_v").over(w).cast("double").alias("_s1"),
-        F.sum(F.col("_v") * F.col("_v")).over(w).cast("double").alias(
-            "_s2"
-        ),
-        F.count("_v").over(w).alias("_n"),
+        (
+            F.lag(c1, 1).over(order)
+            - F.coalesce(F.lag(c1, k + 1).over(order), zero1)
+        ).cast("double").alias("_s1"),
+        (
+            F.lag(c2, 1).over(order)
+            - F.coalesce(F.lag(c2, k + 1).over(order), zero1)
+        ).cast("double").alias("_s2"),
+        (
+            F.coalesce(F.lag(cn, 1).over(order), F.lit(0))
+            - F.coalesce(F.lag(cn, k + 1).over(order), F.lit(0))
+        ).alias("_n"),
     )
     n = F.col("_n").cast("double")
     mean = F.col("_s1") / n
     var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - F.lit(1.0))
+    # a constant (flatlined) series can cancel to a tiny NEGATIVE var in
+    # double arithmetic (e.g. value 2.3, lookback 48: var ~ -1.2e-15);
+    # sqrt would yield NaN, and under Spark's NaN-is-largest comparison
+    # semantics NaN passes both filters below, emitting spurious rows.
+    # Clamp: a window whose exact-decimal sums cancel is a zero-variance
+    # window, and std == 0 is already filtered.
+    var = F.greatest(var, F.lit(0.0))
     std = F.sqrt(var)
     z = (F.col("value") - mean) / std
     return (

@@ -341,6 +341,21 @@ def test_zscore_hand_computed(spark):
     # degenerate std -> suppressed
 
 
+def test_zscore_constant_series_never_fires(spark):
+    """A flatlined series with a non-integral value (2.3) makes the
+    textbook variance cancel to a tiny NEGATIVE double even with exact
+    decimal sums; sqrt would yield NaN, and NaN passes both filters
+    under Spark's NaN-is-largest ordering. The variance clamp must
+    suppress every row (the docstring's 'constant series never fire'
+    contract)."""
+    rows = [("a", 60 * i, 2.3) for i in range(80)]
+    got = timeseries.zscore_anomalies(
+        _df(spark, rows), "series", "ts", "value", "uid",
+        lookback=48, threshold=1.0, sum_cast="decimal(18,4)",
+    ).toPandas()
+    assert len(got) == 0, got
+
+
 def test_zscore_plan_single_exchange_no_udf(spark):
     df = _df(spark, [("a", 60, 1.0), ("a", 120, 2.0)])
     z = timeseries.zscore_anomalies(df, "series", "ts", "value", "uid")
