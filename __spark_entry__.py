@@ -85,6 +85,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _series_part(df: DataFrame, *cols) -> DataFrame:
+    """Project the query's columns and hash-partition on the FIRST one
+    (the series key) before a per-series groupBy/window chain.
+
+    HashPartitioning(series) satisfies the clustered distribution of
+    every downstream groupBy (series, bucket) AND per-series window, so
+    the whole chain runs on ONE exchange; Spark also elides operators'
+    own redundant ``repartition(series)``. Measured 2x on the
+    high-cardinality (per-user) tier builds where map-side partial
+    aggregation combines nothing (~1 row/group) and the extra exchange
+    was pure cost — see OPTIMIZATION_r06.md. Results are bit-identical:
+    grouping is exact and the tiers' decimal partial sums are
+    summation-order independent. Not used for low-cardinality series
+    (event_type) where map-side combine does the heavy lifting."""
+    out = df.select(*cols)
+    return out.repartition(F.col(out.columns[0]))
+
+
 def _round_aggs(df: DataFrame) -> DataFrame:
     # engine tiers carry exact decimal sums (rollup.DEC); surface them as
     # rounded doubles so both engines hash identical values
@@ -476,10 +494,12 @@ def q_gapfill_30m(spark, sf_dir):
     from isp_trace_parser_spark.operators.gapfill import gap_fill
 
     ev = _t(spark, sf_dir, "events")
-    t30 = ev.groupBy(
+    t30 = _series_part(
+        ev,
         F.col("user_id").alias("series"),
         bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
-    ).agg(
+        F.col("value"),
+    ).groupBy("series", "bucket_ts").agg(
         (F.sum(F.col("value").cast("decimal(20,4)")).cast("double") / F.count("value")).alias("value")
     )
     filled = gap_fill(t30, interval_seconds=SEC_30M)
@@ -495,10 +515,12 @@ def q_codec_roundtrip(spark, sf_dir):
     from isp_trace_parser_spark.operators import codec
 
     ev = _t(spark, sf_dir, "events")
-    t30 = ev.groupBy(
+    t30 = _series_part(
+        ev,
         F.col("user_id").cast("string").alias("series"),
         bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
-    ).agg(
+        F.col("value"),
+    ).groupBy("series", "bucket_ts").agg(
         (F.sum(F.col("value").cast("decimal(20,4)")).cast("double") / F.count("value")).alias("avg_value")
     )
     # 30-day blocks: events are sparse per (user, day), so daily blocks
@@ -1288,10 +1310,11 @@ def q_gap_report(spark, sf_dir):
     from isp_trace_parser_spark.operators.timeseries import gap_report
 
     ev = _t(spark, sf_dir, "events")
-    t30 = ev.groupBy(
+    t30 = _series_part(
+        ev,
         F.col("user_id").alias("series"),
         bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).groupBy("series", "bucket_ts").agg(F.count(F.lit(1)).alias("n"))
     return gap_report(t30, "series", "bucket_ts", SEC_30M)
 
 
@@ -1332,10 +1355,12 @@ def q_ewma(spark, sf_dir):
     from isp_trace_parser_spark.operators.timeseries import ewma
 
     ev = _t(spark, sf_dir, "events")
-    t30 = ev.groupBy(
+    t30 = _series_part(
+        ev,
         F.col("user_id").alias("series"),
         bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
-    ).agg(
+        F.col("value"),
+    ).groupBy("series", "bucket_ts").agg(
         (
             F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
             / F.count("value")
@@ -1362,8 +1387,10 @@ def q_histogram_rollup(spark, sf_dir):
         histogram_tier,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("url"), F.col("ts").alias("warc_ts"), "value"
+    ev = _series_part(
+        _t(spark, sf_dir, "events"),
+        F.col("user_id").alias("url"), F.col("ts").alias("warc_ts"),
+        F.col("value"),
     )
     t30 = histogram_tier(ev, bucket_seconds=SEC_30M, bin_width=0.5)
     return histogram_cascade(t30, SEC_1D)
@@ -1383,8 +1410,10 @@ def q_histogram_p95(spark, sf_dir):
         histogram_tier,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("url"), F.col("ts").alias("warc_ts"), "value"
+    ev = _series_part(
+        _t(spark, sf_dir, "events"),
+        F.col("user_id").alias("url"), F.col("ts").alias("warc_ts"),
+        F.col("value"),
     )
     t30 = histogram_tier(ev, bucket_seconds=SEC_30M, bin_width=0.5)
     t1d = histogram_cascade(t30, SEC_1D)
@@ -1985,10 +2014,12 @@ def q_gapfill_interpolate(spark, sf_dir):
     from isp_trace_parser_spark.operators.gapfill import interpolate_gaps
 
     ev = _t(spark, sf_dir, "events")
-    t30 = ev.groupBy(
+    t30 = _series_part(
+        ev,
         F.col("user_id").alias("series"),
         bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
-    ).agg(
+        F.col("value"),
+    ).groupBy("series", "bucket_ts").agg(
         (
             F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
             / F.count("value")
@@ -2243,10 +2274,12 @@ def q_codec_range_decode(spark, sf_dir):
     from isp_trace_parser_spark.operators import codec
 
     ev = _t(spark, sf_dir, "events")
-    t30 = ev.groupBy(
+    t30 = _series_part(
+        ev,
         F.col("user_id").cast("string").alias("series"),
         bucket_end(F.col("ts"), SEC_30M).alias("bucket_ts"),
-    ).agg(
+        F.col("value"),
+    ).groupBy("series", "bucket_ts").agg(
         (
             F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
             / F.count("value")
@@ -2671,7 +2704,10 @@ def q_histogram_multi_q(spark, sf_dir):
         histogram_tier,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _series_part(
+        _t(spark, sf_dir, "events"), F.col("user_id"), F.col("ts"),
+        F.col("value"),
+    )
     t30 = histogram_tier(ev, "user_id", "ts", "value", SEC_30M, 0.5)
     t1d = histogram_cascade(t30, SEC_1D)
     out = histogram_percentiles(t1d, [0.5, 0.95, 0.99], bin_width=0.5)
