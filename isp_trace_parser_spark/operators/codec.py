@@ -40,7 +40,6 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -229,33 +228,43 @@ POINT_SCHEMA = StructType(
 )
 
 
-def _encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Encode every complete (series, block_start) group in a sorted
-    frame. Split points come from one vectorized change-detection pass;
+def _encode_batch(ser, bs_us, ts_us, vals):
+    """Encode every complete (series, block_start) group of one sorted
+    slice -> a pyarrow RecordBatch of blocks. ``ser`` stays a pyarrow
+    string array end to end (boundary compare and start-row gather run
+    in Arrow C kernels — no per-row Python string materialization);
     only the per-block encode_block call is a Python-level loop (numpy
     inside)."""
-    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    vals = pdf["value"].to_numpy(dtype=np.float64)
-    series = pdf["series"].to_numpy()
-    bstart = pdf["block_start"].to_numpy()
-    change = np.empty(len(pdf), dtype=bool)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(ser)
+    change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = (series[1:] != series[:-1]) | (bstart[1:] != bstart[:-1])
+    if n > 1:
+        change[1:] = np.asarray(
+            pc.not_equal(ser.slice(1), ser.slice(0, n - 1))
+        ) | (bs_us[1:] != bs_us[:-1])
     starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(pdf))
-    rows = {
-        "series": series[starts],
-        "block_start": bstart[starts],
-        "n_points": (ends - starts).astype(np.int32),
-        "raw_bytes": ((ends - starts) * 16).astype(np.int64),
-        "enc_bytes": np.empty(len(starts), dtype=np.int64),
-        "data": [None] * len(starts),
-    }
+    ends = np.append(starts[1:], n)
+    blobs = [None] * len(starts)
+    enc_bytes = np.empty(len(starts), dtype=np.int64)
     for i, (s, e) in enumerate(zip(starts, ends)):
         blob = encode_block(ts_us[s:e], vals[s:e])
-        rows["data"][i] = blob
-        rows["enc_bytes"][i] = len(blob)
-    return pd.DataFrame(rows)
+        blobs[i] = blob
+        enc_bytes[i] = len(blob)
+    idx = pa.array(starts)
+    return pa.RecordBatch.from_arrays(
+        [
+            ser.take(idx),
+            pa.array(bs_us[starts], pa.timestamp("us")),
+            pa.array((ends - starts).astype(np.int32), pa.int32()),
+            pa.array(((ends - starts) * 16).astype(np.int64), pa.int64()),
+            pa.array(enc_bytes, pa.int64()),
+            pa.array(blobs, pa.binary()),
+        ],
+        ["series", "block_start", "n_points", "raw_bytes", "enc_bytes", "data"],
+    )
 
 
 def encode_blocks(
@@ -306,50 +315,85 @@ def encode_blocks(
     ).sortWithinPartitions("series", "block_start", "ts")
 
     def _gen(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if pdf.empty:
-                carry = None
-                continue
-            # hold back the final (possibly incomplete) group
-            last_series = pdf["series"].iloc[-1]
-            last_block = pdf["block_start"].iloc[-1]
-            tail = (pdf["series"] == last_series) & (pdf["block_start"] == last_block)
-            head = pdf[~tail.to_numpy()]
-            carry = pdf[tail.to_numpy()]
-            if len(head):
-                yield _encode_frame(head)
-        if carry is not None and len(carry):
-            yield _encode_frame(carry)
+        # mapInArrow, not mapInPandas: timestamps arrive as int64 views
+        # and the series strings never materialize as Python objects
+        # (pandas conversion measured ~40% of the whole encode stage —
+        # OPTIMIZATION_r06.md)
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return arranged.mapInPandas(_gen, BLOCK_SCHEMA)
+        carry = None  # (ser pa.Array, bs_us, ts_us, vals) of last group
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ser = batch.column("series")
+            if isinstance(ser, pa.ChunkedArray):  # defensive
+                ser = ser.combine_chunks()
+            bs_us = np.asarray(batch.column("block_start")).view(np.int64)
+            ts_us = np.asarray(batch.column("ts")).view(np.int64)
+            vals = np.asarray(batch.column("value"), dtype=np.float64)
+            if carry is not None:
+                ser = pa.concat_arrays([carry[0], ser])
+                bs_us = np.concatenate([carry[1], bs_us])
+                ts_us = np.concatenate([carry[2], ts_us])
+                vals = np.concatenate([carry[3], vals])
+                carry = None
+            n = len(ser)
+            # hold back the final (possibly incomplete) group: it may
+            # continue in the next Arrow batch of this partition
+            tail_mask = np.asarray(
+                pc.equal(ser, ser[n - 1])
+            ) & (bs_us == bs_us[n - 1])
+            cut = n - int(tail_mask.sum())
+            carry = (
+                ser.slice(cut),
+                bs_us[cut:],
+                ts_us[cut:],
+                vals[cut:],
+            )
+            if cut:
+                yield _encode_batch(
+                    ser.slice(0, cut), bs_us[:cut], ts_us[:cut], vals[:cut]
+                )
+        if carry is not None and len(carry[1]):
+            yield _encode_batch(*carry)
+
+    return arranged.mapInArrow(_gen, BLOCK_SCHEMA)
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Encoded blocks -> points (series, ts, value)."""
+    """Encoded blocks -> points (series, ts, value).
+
+    mapInArrow: the per-point series id is an Arrow ``take`` with a
+    repeated block index (a C-level gather on the incoming string
+    column) — the strings never exist as per-point Python objects,
+    which dominated the pandas-based decode."""
 
     def _decode(batches):
-        for pdf in batches:
-            ts_parts, val_parts, sid_parts = [], [], []
-            for series, blob in zip(pdf["series"], pdf["data"]):
-                ts_us, vals = decode_block(bytes(blob))
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            data = batch.column("data")
+            ts_parts, val_parts = [], []
+            counts = np.empty(batch.num_rows, dtype=np.int64)
+            for i in range(batch.num_rows):
+                ts_us, vals = decode_block(data[i].as_py())
                 ts_parts.append(ts_us)
                 val_parts.append(vals)
-                sid_parts.append(np.repeat(series, len(ts_us)))
-            if ts_parts:
-                # one frame per Arrow batch (not per block): the pandas
-                # constructor dominates decode cost otherwise
-                yield pd.DataFrame(
-                    {
-                        "series": np.concatenate(sid_parts),
-                        "ts": np.concatenate(ts_parts).astype("datetime64[us]"),
-                        "value": np.concatenate(val_parts),
-                    }
-                )
+                counts[i] = len(ts_us)
+            idx = pa.array(np.repeat(np.arange(batch.num_rows), counts))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("series").take(idx),
+                    pa.array(np.concatenate(ts_parts), pa.timestamp("us")),
+                    pa.array(np.concatenate(val_parts), pa.float64()),
+                ],
+                ["series", "ts", "value"],
+            )
 
-    return blocks.mapInPandas(_decode, POINT_SCHEMA)
+    return blocks.mapInArrow(_decode, POINT_SCHEMA)
 
 
 def compression_report(blocks: DataFrame) -> DataFrame:

@@ -238,12 +238,21 @@ def run_rollup_pipeline(
         res.stages_run.append(name)
 
     # -- tier 30m: the one raw scan ------------------------------------
+    # The raw scan is hash-partitioned on the series key BEFORE the
+    # groupBy: per-(url, 30m) groups are ~1 row at crawl density, so the
+    # two-phase agg's map-side hash table combined nothing and the
+    # cluster paid a second full hash-agg pass after the exchange.
+    # Pre-partitioning satisfies the groupBy's clustering (one fused
+    # agg) at the same exchange count — measured 2.17s -> 1.67s on the
+    # stage incl. its partitioned write (OPTIMIZATION_r06.md). Exact
+    # grouping + order-independent partials => identical tier contents.
     _stage(
         "agg_30m",
         raw_table,
         "day_bucket",
         lambda src: rollup.rollup_raw(
-            src, "url", "warc_ts", "value", sum_cast=sum_cast
+            src.select("url", "warc_ts", "value").repartition(F.col("url")),
+            "url", "warc_ts", "value", sum_cast=sum_cast
         ).withColumn(
             "day_bucket", F.to_date(F.col("bucket_ts") - F.expr("INTERVAL 1 SECOND"))
         ),
