@@ -278,9 +278,10 @@ def minhash_lsh_pairs(
     2 x num_perm longs per PAIR and ran a 128-element interpreted
     ``zip_with`` per pair; the bucket-local verify moves each
     signature once per band and compares in numpy at memory speed,
-    ~10x on the operator, see OPTIMIZATION_r06.md). Only pairs that
-    SURVIVE the threshold reach the final distinct — sub-threshold
-    candidates never enter a shuffle.
+    ~10x on the operator, see OPTIMIZATION_r06.md). Surviving pairs are
+    emitted exactly once — from their FIRST band whose row values all
+    agree — so the pair stream needs no downstream distinct and
+    sub-threshold candidates never enter any shuffle.
 
     Buckets with a single member generate no pairs, so they are
     dropped before the verify shuffle via a slim (band, bucket)
@@ -353,8 +354,10 @@ def minhash_lsh_pairs(
 
         thr = threshold
         perms = num_perm
+        n_bands = bands
+        r = rows
 
-        def _group_pairs(ids, sig_mat, out):
+        def _group_pairs(ids, sig_mat, this_band, out):
             g = len(ids)
             if g < 2:
                 return
@@ -364,13 +367,29 @@ def minhash_lsh_pairs(
             # row-block compare: each left row against all rows below it
             # — bounded memory (one g x num_perm slice live at a time)
             for i in range(g - 1):
-                agree = (sig_mat[i + 1 :] == sig_mat[i]).sum(axis=1)
-                est = agree / perms
+                eq = sig_mat[i + 1 :] == sig_mat[i]
+                est = eq.sum(axis=1) / perms
                 m = est >= thr
-                if m.any():
-                    out[0].append(np.full(int(m.sum()), ids[i]))
-                    out[1].append(ids[i + 1 :][m])
-                    out[2].append(est[m])
+                if not m.any():
+                    continue
+                # EXACTLY-ONCE emission: a surviving pair is emitted only
+                # from its FIRST band whose row VALUES all agree, so no
+                # downstream distinct is needed (a pair sharing several
+                # band buckets would otherwise be emitted once per band).
+                # Slice equality implies bucket-hash equality, so the
+                # pair is guaranteed to co-occur in that band's bucket.
+                # A pair that is in this bucket purely via a bucket-hash
+                # collision (~2^-64) has no all-equal band and is
+                # dropped — exactly the DuckDB oracle's band-slice
+                # equality rule.
+                band_eq = eq[m].reshape(-1, n_bands, r).all(axis=2)
+                first = band_eq.argmax(axis=1)
+                keep = band_eq.any(axis=1) & (first == this_band)
+                if keep.any():
+                    sel = np.flatnonzero(m)[keep]
+                    out[0].append(np.full(len(sel), ids[i]))
+                    out[1].append(ids[i + 1 :][sel])
+                    out[2].append(est[sel])
 
         def _flush(ids, sig_mat, band, bucket):
             change = np.empty(len(ids), dtype=bool)
@@ -379,7 +398,7 @@ def minhash_lsh_pairs(
             bounds = np.flatnonzero(change)
             out: tuple[list, list, list] = ([], [], [])
             for s, e in zip(bounds, np.append(bounds[1:], len(ids))):
-                _group_pairs(ids[s:e], sig_mat[s:e], out)
+                _group_pairs(ids[s:e], sig_mat[s:e], int(band[s]), out)
             if out[0]:
                 return pa.RecordBatch.from_arrays(
                     [
@@ -425,11 +444,11 @@ def minhash_lsh_pairs(
             if res is not None:
                 yield res
 
-    est = arranged.mapInArrow(
+    # emission is exactly-once (first slice-matching band), so the pair
+    # stream needs no distinct — no shuffle after the verify
+    return arranged.mapInArrow(
         _verify, "d1 long, d2 long, est_jaccard double"
     )
-    # a surviving pair appears once per shared band — distinct keeps one
-    return est.dropDuplicates(["d1", "d2"])
 
 
 # --------------------------------------------------------------- simhash
@@ -665,16 +684,35 @@ def _word_shingle_keys(
       space-join-injective (split tokens contain no whitespace), so
       key equality == shingle-string equality modulo ~2^-64 collisions,
       identical to the r5 risk class.
+    - The raw (id, text) rows are hash-REPARTITIONED before any of the
+      split/shingle/hash work: a source laid out in one file (or one
+      parquet row group) otherwise runs the whole per-shingle stage in
+      a single scan task (measured: the un-shuffled stage 3.4s vs 1.5s
+      — the corpus here is 15 MB, the shuffle is noise, the
+      parallelism is everything; at real corpus scale the input has
+      many splits and AQE coalesces the exchange away to nothing
+      harmful). The shuffle key is a deterministic hash of the doc id
+      (guide §2.5: never round-robin on rand()).
 
     The r5 string path filtered empty shingles (``sh != ''``), which
     only arise for empty/whitespace-only (or null) texts — the array
     path keeps that contract with one doc-level filter, preserving the
     documented behavior that shingle-less docs are absent from the
     report."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col), words.alias("_ws")).where(
+    raw = df.select(F.col(id_col), F.col(text_col)).where(
         F.col(text_col).isNotNull()
     )
+    # explicit partition count: AQE would coalesce this small exchange
+    # by BYTES, but the stage is CPU-bound per row (same rationale as
+    # codec.encode_blocks' pinned fan-out)
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
+    raw = raw.repartition(n_parts, F.xxhash64(F.col(id_col)))
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = raw.select(F.col(id_col), words.alias("_ws"))
     ws = F.col("_ws")
     keys = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
