@@ -311,7 +311,7 @@ def ewma(
 
     The recurrence is inherently sequential per series — no Catalyst
     window frame expresses it — so this is the documented escape hatch:
-    ``mapInPandas`` over series-repartitioned, series-sorted partitions,
+    ``mapInArrow`` over series-repartitioned, series-sorted partitions,
     the recurrence run per contiguous series slice inside each Arrow
     batch with per-series state carried across batch splits. One
     exchange (zero on series-bucketed tables); parallelism is across
@@ -329,8 +329,6 @@ def ewma(
     Values are assumed non-null (tier output); NaNs poison the exact
     path and are skipped by pandas' ewm, so don't feed them to either.
     """
-    import pandas as pd
-
     a = float(alpha)
     out_schema = (
         f"{series_col} {dict(df.dtypes)[series_col]}, "
@@ -341,23 +339,35 @@ def ewma(
     base = df.select(*cols)
 
     def _run(batches):
+        # mapInArrow: series/ts pass through untouched as Arrow buffers
+        # and run boundaries come from an Arrow C compare — no pandas
+        # frame build per batch (OPTIMIZATION_r06.md)
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         state: dict = {}  # series -> last ewma (carries across batches)
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            vals = pdf[value_col].to_numpy(dtype="float64")
-            keys = pdf[series_col].to_numpy()
+            ser = batch.column(series_col)
+            vals = np.asarray(
+                pc.cast(batch.column(value_col), pa.float64())
+            ).astype("float64", copy=True)
             # per-series runs are contiguous (sorted partition)
-            bounds = np.flatnonzero(
-                np.concatenate(([True], keys[1:] != keys[:-1]))
-            )
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            if n > 1:
+                change[1:] = np.asarray(
+                    pc.not_equal(ser.slice(1), ser.slice(0, n - 1))
+                )
+            bounds = np.flatnonzero(change)
             out = np.empty_like(vals)
             for start, end in zip(
-                bounds, np.append(bounds[1:], len(vals))
+                bounds, np.append(bounds[1:], n)
             ):
-                k = keys[start]
+                k = ser[start].as_py()
                 s = state.get(k)
                 if exact_shape:
                     # recurrence shape a*x + (1-a)*s kept LITERALLY
@@ -372,19 +382,20 @@ def ewma(
                     res = _ewma_closed_form(vals[start:end], a, s0=s)
                     out[start:end] = res
                     state[k] = res[-1]
-            yield pd.DataFrame(
-                {
-                    series_col: pdf[series_col],
-                    ts_col: pdf[ts_col],
-                    value_col: vals,
-                    "ewma": out,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ser,
+                    batch.column(ts_col),
+                    pa.array(vals, pa.float64()),
+                    pa.array(out, pa.float64()),
+                ],
+                [series_col, ts_col, value_col, "ewma"],
             )
 
     arranged = base.repartition(series_col).sortWithinPartitions(
         series_col, ts_col, tiebreak_col
     )
-    return arranged.mapInPandas(_run, out_schema)
+    return arranged.mapInArrow(_run, out_schema)
 
 
 def zscore_anomalies(

@@ -265,9 +265,9 @@ def test_ewma_hand_computed_and_batch_carry(spark):
 
 
 def test_new_ops_plan_shapes(spark):
-    """ewma: one exchange, the only Python surface is the mapInPandas
-    node (no per-row PythonUDF); crawl_schedule: one exchange, no UDF
-    at all."""
+    """ewma: one exchange, the only Python surface is the mapInArrow
+    node (no per-row PythonUDF, no pandas conversion); crawl_schedule:
+    one exchange, no UDF at all."""
     import datetime
 
     from isp_trace_parser_spark.functions.web import crawl_schedule
@@ -276,7 +276,7 @@ def test_new_ops_plan_shapes(spark):
     ew = timeseries.ewma(df, "series", "ts", "value", "uid")
     plan = ew._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
-    assert "MapInPandas" in plan and "BatchEvalPython" not in plan, plan
+    assert "MapInArrow" in plan and "BatchEvalPython" not in plan, plan
 
     docs = spark.createDataFrame(
         [(1, "a.com"), (2, "b.com")], "doc_id long, source string"
