@@ -736,7 +736,12 @@ def contamination_report(
     document, how many of its distinct word ``n``-gram shingles also
     appear in the benchmark set, how many benchmark documents it hits,
     and the contaminated fraction. Docs with zero overlap are included
-    (count 0), so a threshold filter downstream sees the whole corpus.
+    (count 0), so a threshold filter downstream sees the whole corpus —
+    EXCEPT documents that produce no shingles at all (empty /
+    whitespace-only / null text): those are absent from the report, and
+    a caller inner-joining the report back onto the corpus drops them;
+    handle shingle-less docs explicitly if they must survive
+    (ADVICE r5).
 
     Shape: both sides shingle map-side into slim 64-bit keys
     (:func:`_word_shingle_keys`) — the corpus' text never enters any

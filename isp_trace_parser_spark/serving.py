@@ -122,14 +122,15 @@ class TierStore:
         max_points: int = 2000,
     ) -> tuple[DataFrame, str]:
         """Dashboard-style auto-resolution: pick the FINEST servable
-        resolution whose point count per series over ``[start, end)``
+        resolution whose point count per series over ``(start, end]``
+        (the engine-wide window convention :meth:`series` applies)
         fits ``max_points`` (a chart pixel budget), then serve through
         :meth:`series`. Returns ``(df, resolution)`` so the caller can
         label axes. Candidate ladder: every multiple of a stored tier
         the router can cascade to — 30m, 1h, 2h, ..., 1d, 2d, ... —
-        scanned coarse-to-fine; falls back to the coarsest candidate
-        if even it overflows the budget (a 10-year window simply gets
-        10 * 365 daily points).
+        scanned finest-first (the first candidate under budget wins);
+        falls back to the coarsest candidate if even it overflows the
+        budget (a 10-year window simply gets 10 * 365 daily points).
 
         Pure metadata arithmetic on the window span — no data is read
         to make the choice, so the decision is free at any table size.

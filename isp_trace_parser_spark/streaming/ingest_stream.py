@@ -52,18 +52,28 @@ def _norm_scope(checkpoint_dir: str) -> str:
     return os.path.abspath(os.path.normpath(checkpoint_dir))
 
 
-def _committed_epochs(cat: Catalog, table: str, scope: str) -> set[int]:
+def _committed_epochs(
+    cat: Catalog, table: str, scope: str
+) -> tuple[set[int], set[int]]:
+    """-> (scoped_committed, legacy_committed) epoch-id sets.
+
+    Legacy = unscoped pre-upgrade commits, honored only while NO scoped
+    commit exists. They are returned separately so the caller can warn
+    loudly when a legacy row suppresses an epoch: on the plausible
+    'upgraded engine + brand-new checkpoint dir' path that suppression
+    silently drops fresh epochs 0..max(legacy), which must at least be
+    visible in the logs (ADVICE r5)."""
     epoch_rows = [
         s["lineage"]
         for s in cat.snapshots(table)
         if "epoch_id" in s.get("lineage", {})
     ]
     any_scoped = any("epoch_scope" in ln for ln in epoch_rows)
-    committed = set()
+    scoped, legacy = set(), set()
     for ln in epoch_rows:
         if "epoch_scope" in ln:
             if _norm_scope(ln["epoch_scope"]) == scope:
-                committed.add(ln["epoch_id"])
+                scoped.add(ln["epoch_id"])
         elif not any_scoped:
             # pre-upgrade table: every epoch commit predates scoping,
             # so they all belong to the single legacy checkpoint and a
@@ -71,8 +81,8 @@ def _committed_epochs(cat: Catalog, table: str, scope: str) -> set[int]:
             # exists, unscoped rows are ignored (a NEW checkpoint's
             # epoch 0 must not be suppressed by a legacy row — skipping
             # fresh data is silent loss; a replayed duplicate is not).
-            committed.add(ln["epoch_id"])
-    return committed
+            legacy.add(ln["epoch_id"])
+    return scoped, legacy
 
 
 def streaming_ingest(
@@ -90,10 +100,25 @@ def streaming_ingest(
     scope = None if checkpoint_dir is None else _norm_scope(checkpoint_dir)
 
     def _land(batch_df: DataFrame, epoch_id: int) -> None:
-        if scope is not None and epoch_id in _committed_epochs(
-            cat, table, scope
-        ):
-            return  # replayed epoch after restart — already committed
+        if scope is not None:
+            scoped, legacy = _committed_epochs(cat, table, scope)
+            if epoch_id in scoped:
+                return  # replayed epoch after restart — already committed
+            if epoch_id in legacy:
+                import warnings
+
+                warnings.warn(
+                    f"streaming_ingest: epoch {epoch_id} of table "
+                    f"{table!r} suppressed by a LEGACY (unscoped) epoch "
+                    "commit. If this is a resume of the pre-upgrade "
+                    "checkpoint, this is the intended replay skip; if "
+                    "this is a NEW checkpoint over a pre-upgrade table, "
+                    "this batch's data is being DROPPED — write one "
+                    "batch with the old checkpoint dir (creating a "
+                    "scoped commit) or start from a fresh table.",
+                    stacklevel=2,
+                )
+                return
         keyed = with_partition_keys(batch_df, n_buckets=n_buckets)
         lineage: dict[str, Any] = {
             "stage": "streaming_ingest",

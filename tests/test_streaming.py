@@ -295,17 +295,22 @@ def test_epoch_scope_normalized_and_legacy_rows(tmp_path):
             return [{"lineage": ln} for ln in self._l]
 
     # pre-upgrade table: all epoch rows unscoped -> they belong to the
-    # single legacy checkpoint and a resume must skip them
+    # single legacy checkpoint and a resume must skip them — reported
+    # in the LEGACY set so the caller can warn loudly (ADVICE r5: the
+    # new-checkpoint-over-pre-upgrade-table path silently drops epochs)
     legacy = FakeCat([{"epoch_id": 0}, {"epoch_id": 1}])
-    assert ingest_stream._committed_epochs(legacy, "t", norm(ck)) == {0, 1}
+    assert ingest_stream._committed_epochs(legacy, "t", norm(ck)) == (
+        set(), {0, 1})
     # once any scoped commit exists, unscoped rows are ignored
     mixed = FakeCat(
         [{"epoch_id": 0}, {"epoch_id": 1, "epoch_scope": norm(ck)}]
     )
-    assert ingest_stream._committed_epochs(mixed, "t", norm(ck)) == {1}
+    assert ingest_stream._committed_epochs(mixed, "t", norm(ck)) == (
+        {1}, set())
     # and a differently-spelled recorded scope still matches
     spelled = FakeCat([{"epoch_id": 2, "epoch_scope": ck + "/"}])
-    assert ingest_stream._committed_epochs(spelled, "t", norm(ck)) == {2}
+    assert ingest_stream._committed_epochs(spelled, "t", norm(ck)) == (
+        {2}, set())
 
 
 def test_streaming_histogram_lands_and_serves_percentiles(spark, tmp_path):
