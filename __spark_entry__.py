@@ -2816,60 +2816,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver's sampling order: it verifies the FIRST
-    # 50 entries. Rows without a prior driver-side green (plus any rows new
-    # this round) are listed first; rows with two rounds of driver greens
-    # (CORRECTNESS_r03/r04) follow.
+    # 50 entries. Standing rotation rule (VERDICT r5 #1): slot the rows
+    # with NO driver green ever first, then rows whose implementation
+    # changed this round (r6: the dedup/text/timeseries rewrites, the
+    # exchange-shared tier builds, and every consumer of the pipeline-
+    # built warehouse, whose agg_30m/codec stages changed), then the rows
+    # whose newest driver green is OLDEST (the r3/r4-only block) to fill.
     return {
-        "gap_report": q_gap_report,
-        "crawl_schedule": q_crawl_schedule,
-        "ewma_smooth": q_ewma,
-        "histogram_rollup": q_histogram_rollup,
-        "histogram_p95": q_histogram_p95,
-        "api_projection_policy": q_api_projection_policy,
-        "json_props_rollup": q_json_props_rollup,
-        "source_quality_report": q_source_quality_report,
-        "streaming_sessionize": q_streaming_sessionize,
-        "interval_join_windows": q_interval_join_windows,
-        "rolling_mean_1h": q_rolling_mean_1h,
-        "tier_serving_2h": q_tier_serving_2h,
-        "tier_serving_p95": q_tier_serving_p95,
-        "twa_raw_sparse": q_twa_raw_sparse,
-        "cold_tier_p95": q_cold_tier_p95,
-        "distinct_rollup_1d": q_distinct_rollup_1d,
-        "zscore_anomalies": q_zscore_anomalies,
-        "seasonal_profile": q_seasonal_profile,
-        "histogram_multi_q": q_histogram_multi_q,
-        "streaming_histogram_30m": q_streaming_histogram_30m,
-        "pack_manifest": q_pack_manifest,
+        "pack_read_plan": q_pack_read_plan,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "ngram_jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "contamination_report": q_contamination_report,
+        "curation_pipeline": q_curation_pipeline,
         "curation_pipeline_v2": q_curation_pipeline_v2,
-        "tier_serving_distinct": q_tier_serving_distinct,
-        "tier_serving_auto": q_tier_serving_auto,
-        "tiered_retention": q_tiered_retention,
-        "streaming_dedup": q_streaming_dedup,
-        "domain_stats": q_domain_stats,
-        "outlink_stats": q_outlink_stats,
-        "compact_roundtrip": q_compact_roundtrip,
-        "time_weighted_avg": q_time_weighted_avg,
-        "m4_downsample": q_m4_downsample,
-        "counter_rate": q_counter_rate,
-        "gapfill_interpolate": q_gapfill_interpolate,
-        "snapshot_lineage": q_snapshot_lineage,
-        "stratified_sample": q_stratified_sample,
-        "export_shards": q_export_shards,
-        "pii_redaction": q_pii_redaction,
-        "skew_report": q_skew_report,
-        "incremental_rollup": q_incremental_rollup,
-        "late_rewrite_rollup": q_late_rewrite_rollup,
-        "tier_serving_3d": q_tier_serving_3d,
-        "codec_range_decode": q_codec_range_decode,
-        "time_travel_read": q_time_travel_read,
-        "streaming_ingest_rollup": q_streaming_ingest_rollup,
         "repetition_filters": q_repetition_filters,
         "chunk_documents": q_chunk_documents,
-        "rollback_read": q_rollback_read,
-        "curation_pipeline": q_curation_pipeline,
+        "zscore_anomalies": q_zscore_anomalies,
+        "ewma_smooth": q_ewma,
+        "gap_report": q_gap_report,
+        "gapfill_30m": q_gapfill_30m,
+        "gapfill_interpolate": q_gapfill_interpolate,
+        "gorilla_codec_roundtrip": q_codec_roundtrip,
+        "codec_range_decode": q_codec_range_decode,
+        "histogram_rollup": q_histogram_rollup,
+        "histogram_p95": q_histogram_p95,
+        "histogram_multi_q": q_histogram_multi_q,
+        "incremental_rollup": q_incremental_rollup,
+        "late_rewrite_rollup": q_late_rewrite_rollup,
+        "tiered_retention": q_tiered_retention,
+        "tier_serving_2h": q_tier_serving_2h,
+        "tier_serving_p95": q_tier_serving_p95,
+        "tier_serving_3d": q_tier_serving_3d,
+        "tier_serving_auto": q_tier_serving_auto,
+        "tier_serving_distinct": q_tier_serving_distinct,
+        "cold_tier_p95": q_cold_tier_p95,
         "cold_tier_serving": q_cold_tier_serving,
+        "snapshot_lineage": q_snapshot_lineage,
+        "time_travel_read": q_time_travel_read,
+        "rollback_read": q_rollback_read,
+        "streaming_ingest_rollup": q_streaming_ingest_rollup,
         "rollup_30m": q_rollup_30m,
         "rollup_1d": q_rollup_1d,
         "rollup_1mo": q_rollup_1mo,
@@ -2887,14 +2873,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1,
         "percentiles_by_type": q_percentiles,
         "rollup_grouping_sets": q_rollup_grouping_sets,
+        "crawl_schedule": q_crawl_schedule,
+        "api_projection_policy": q_api_projection_policy,
+        "json_props_rollup": q_json_props_rollup,
+        "source_quality_report": q_source_quality_report,
+        "streaming_sessionize": q_streaming_sessionize,
+        "interval_join_windows": q_interval_join_windows,
+        "rolling_mean_1h": q_rolling_mean_1h,
+        "twa_raw_sparse": q_twa_raw_sparse,
+        "distinct_rollup_1d": q_distinct_rollup_1d,
+        "seasonal_profile": q_seasonal_profile,
+        "streaming_histogram_30m": q_streaming_histogram_30m,
+        "pack_manifest": q_pack_manifest,
+        "streaming_dedup": q_streaming_dedup,
+        "domain_stats": q_domain_stats,
+        "outlink_stats": q_outlink_stats,
+        "compact_roundtrip": q_compact_roundtrip,
+        "time_weighted_avg": q_time_weighted_avg,
+        "m4_downsample": q_m4_downsample,
+        "counter_rate": q_counter_rate,
+        "stratified_sample": q_stratified_sample,
+        "export_shards": q_export_shards,
+        "pii_redaction": q_pii_redaction,
+        "skew_report": q_skew_report,
         "lag_delta": q_lag_delta,
         "sessionize": q_sessionize,
-        "gapfill_30m": q_gapfill_30m,
-        "gorilla_codec_roundtrip": q_codec_roundtrip,
         "asof_join_views_purchases": q_asof_join,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_jaccard_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_fingerprints": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2910,7 +2915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
         "legacy_v1_read": q_legacy_v1_read,
         "streaming_rollup_30m": q_streaming_rollup_30m,
-        "dedup_clusters": q_dedup_clusters,
         "parse_csv_filtered": q_parse_csv_filtered,
         "topk_per_group": q_topk_per_group,
         "optimise_relayout": q_optimise_relayout,
@@ -2920,7 +2924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "parse_demand_csv": q_parse_demand_csv,
         "parse_demand_cross": q_parse_demand_cross,
-        "pack_read_plan": q_pack_read_plan,
     }
 
 
