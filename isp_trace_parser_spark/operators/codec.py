@@ -273,6 +273,7 @@ def encode_blocks(
     ts_col: str = "bucket_ts",
     value_col: str = "avg_value",
     block: str = "1 day",
+    repartition: bool = True,
 ) -> DataFrame:
     """Points -> one encoded binary block per (series, block_start).
 
@@ -310,9 +311,22 @@ def encode_blocks(
     except (TypeError, ValueError):
         # AQE-managed platforms may hold a non-integer ("auto")
         n_parts = df.sparkSession.sparkContext.defaultParallelism
-    arranged = keyed.repartition(
-        n_parts, "series", "block_start"
-    ).sortWithinPartitions("series", "block_start", "ts")
+    # ``repartition=False``: the caller guarantees each series is wholly
+    # contained in one input partition (e.g. the frame is already
+    # hash-partitioned on the series key) — the carry logic only needs
+    # (series, block) groups contiguous under the sort, so the encode
+    # runs shuffle-free on the existing partitioning (measured ~0.4s of
+    # a 3s roundtrip at bench scale). The default keeps the pinned
+    # (series, block_start) fan-out, which also spreads one hot series
+    # across tasks.
+    if repartition:
+        arranged = keyed.repartition(
+            n_parts, "series", "block_start"
+        ).sortWithinPartitions("series", "block_start", "ts")
+    else:
+        arranged = keyed.sortWithinPartitions(
+            "series", "block_start", "ts"
+        )
 
     def _gen(batches):
         # mapInArrow, not mapInPandas: timestamps arrive as int64 views
